@@ -1,0 +1,42 @@
+"""singlet-tpu: a TPU-native sparse NMF embedding engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+``zdebruine/singlet`` R package (sparse ALS-NMF with coordinate-descent NNLS,
+masked cross-validation for automatic rank determination, linked NMF for batch
+integration, NNLS projection for transfer learning, and downstream
+annotation/GSEA/graph analytics), built TPU-first:
+
+- dense k-by-k math and all gather/accumulate products run on the MXU,
+- the per-column sequential coordinate-descent NNLS is batched over columns
+  (``vmap`` semantics, fixed sweep count with per-column convergence masks),
+- masked cross-validation test sets are recomputed on the fly from a
+  counter-based RNG (a bit-faithful xorshift64 reimplementation of the
+  reference's stateless hash RNG, evaluated on device),
+- multi-chip scaling uses a ``jax.sharding.Mesh`` over cells with XLA
+  collectives (psum of k-by-genes partial products) instead of OpenMP threads.
+
+Reference parity map: see SURVEY.md at the repo root. Citations of the form
+``reference:src/singlet.cpp:NNN`` in docstrings point into /root/reference.
+"""
+
+_TODO = True
+from singlet_tpu.config import NMFConfig
+
+__version__ = "0.1.0"
+
+__all__ = [  # noqa
+]
+_unused = [
+    "NMFConfig",
+    "NMFModel",
+    "nmf_fit",
+    "ard_nmf_fit",
+    "run_nmf",
+    "ard_nmf",
+    "cross_validate_nmf",
+    "get_best_rank",
+    "GetBestRank",
+    "run_linked_nmf",
+    "project_model",
+    "__version__",
+]

@@ -1,0 +1,102 @@
+"""Dense helper kernels: Gram matrices, factor rescaling, convergence metric.
+
+TPU-native equivalents of the reference's Eigen helpers
+(reference:src/singlet.cpp:184-225). Everything here is plain XLA — these ops
+are dense, small, and fuse well; Pallas is reserved for the sparse gather
+paths.
+
+Layout conventions (differ from the reference on purpose — we batch NNLS over
+the *rows* of the factor matrices):
+  W: (genes, k)   factor loadings   (reference keeps w as k x genes)
+  H: (cells, k)   sample embeddings (reference keeps h as k x cells)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# All f32 matmuls in the solver run at highest precision: convergence of the
+# CD-NNLS fixed point and CV-curve shape is sensitive to Gram accuracy.
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def gram(X: jnp.ndarray) -> jnp.ndarray:
+    """X^T X with 1e-15 diagonal jitter.
+
+    Equivalent of ``AAt`` (reference:src/singlet.cpp:200-206) under our
+    transposed layout: the reference computes w w^T for w of shape (k, m); we
+    store the factor matrix as (m, k) so the same k x k Gram is X^T X.
+    """
+    a = jnp.dot(X.T, X, precision=MM_PRECISION)
+    return a + 1e-15 * jnp.eye(a.shape[0], dtype=a.dtype)
+
+
+def scale_columns(X: jnp.ndarray):
+    """Normalize columns of X to sum to one; return (X_normalized, d).
+
+    Equivalent of ``scale`` (reference:src/singlet.cpp:219-225): the reference
+    scales *rows* of its (k, m) factor matrix; our factors live in columns.
+    d gets the pre-normalization column sums (+1e-15).
+    """
+    d = jnp.sum(X, axis=0) + 1e-15
+    return X / d[None, :], d
+
+
+def cor_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """1 - Pearson correlation between two equally-shaped matrices.
+
+    The ALS convergence metric (reference:src/singlet.cpp:184-197): computed
+    over all entries of consecutive-iteration W matrices.
+    """
+    xf = x.ravel()
+    yf = y.ravel()
+    n = xf.shape[0]
+    sum_x = jnp.sum(xf)
+    sum_y = jnp.sum(yf)
+    sum_xy = jnp.dot(xf, yf, precision=MM_PRECISION)
+    sum_x2 = jnp.dot(xf, xf, precision=MM_PRECISION)
+    sum_y2 = jnp.dot(yf, yf, precision=MM_PRECISION)
+    denom = jnp.sqrt((n * sum_x2 - sum_x * sum_x) * (n * sum_y2 - sum_y * sum_y))
+    return 1.0 - (n * sum_xy - sum_x * sum_y) / denom
+
+
+def triu_pairs(k: int):
+    """Static upper-triangle index pair (i, j) arrays for k x k, i <= j."""
+    return np.triu_indices(k)
+
+
+def packed_outer_products(X: jnp.ndarray, iu) -> jnp.ndarray:
+    """Columns of all pairwise products X[:, i] * X[:, j] for i <= j.
+
+    Used by the masked-Gram trick: for a 0/1 mask tile M (cells x genes) the
+    per-cell Gram correction sum_{j in mask_c} X_j X_j^T equals
+    ``unpack(M @ P)`` with P = packed_outer_products(X). This turns the
+    reference's per-cell ``submat``+``AAt`` loop
+    (reference:src/singlet.cpp:447-462) into one MXU matmul.
+    """
+    return X[:, iu[0]] * X[:, iu[1]]
+
+
+def unpack_sym(packed: jnp.ndarray, k: int, iu) -> jnp.ndarray:
+    """Inverse of the triangular packing: (..., npairs) -> (..., k, k)."""
+    batch = packed.shape[:-1]
+    full = jnp.zeros(batch + (k, k), dtype=packed.dtype)
+    full = full.at[..., iu[0], iu[1]].set(packed)
+    eye = jnp.eye(k, dtype=packed.dtype)
+    return full + jnp.swapaxes(full, -1, -2) - full * eye
+
+
+@partial(jax.jit, static_argnames=("k",))
+def masked_grams_from_mask(W: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-cell Gram of the masked rows of W: T[c] = sum_j mask[c,j] W_j W_j^T.
+
+    W: (genes, k); mask: bool (cells, genes). Returns (cells, k, k).
+    """
+    iu = triu_pairs(k)
+    P = packed_outer_products(W, iu)                      # (genes, npairs)
+    packed = jnp.dot(mask.astype(W.dtype), P, precision=MM_PRECISION)
+    return unpack_sym(packed, k, iu)

@@ -1,0 +1,292 @@
+"""The alternating-least-squares NMF engine (single-chip path).
+
+TPU-native re-design of the reference solver loops
+(``c_nmf_base`` reference:src/singlet.cpp:639-666, ``c_ard_nmf_base``
+:1091-1152): each half-iteration is one fused XLA program — Gram (MXU),
+B = P^T X product (MXU), batched CD-NNLS over all columns at once
+(ops/nnls.py), column rescale, convergence metric — instead of an OpenMP loop
+of per-column scalar solves.
+
+Masked (cross-validation) updates block over columns: for each column block
+the speckled test mask is recomputed on device from the counter RNG
+(never materialized globally), the operand tile is mask-multiplied for the
+training B product, and the per-column Gram corrections
+``a_c = X^T X - sum_{masked j} X_j X_j^T`` (reference:src/singlet.cpp:447-464)
+come from one packed-outer-product matmul (ops/linalg.py:masked_grams).
+
+Semantics preserved from the reference:
+  * warm-started NNLS + column rescale => damped (EMA-like) ALS updates;
+  * empty columns are skipped, retaining their previous values;
+  * tol = 1 - Pearson(w_iter, w_prev) on true (unpadded) entries;
+  * masked test-set MSE counts *all* masked entries incl. zeros, averaged
+    per column then across columns (reference:src/singlet.cpp:536-568).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from singlet_tpu.ops.linalg import (
+    MM_PRECISION,
+    cor_distance,
+    gram,
+    packed_outer_products,
+    scale_columns,
+    triu_pairs,
+    unpack_sym,
+)
+from singlet_tpu.ops.nnls import nnls_batch
+from singlet_tpu.ops.rngmask import seed_pair
+from singlet_tpu.sparse.matrix import DenseMatrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pick_block(n_true: int, target: int, quantum: int = 256) -> int:
+    """Choose a column-block size: single block for small axes (minimal
+    padding), otherwise the configured target."""
+    if n_true <= target:
+        return _round_up(n_true, quantum)
+    return target
+
+
+def make_dense_providers(A: np.ndarray, cell_block: int = 2048,
+                         gene_block: int = 4096,
+                         dtype=jnp.float32) -> Tuple[DenseMatrix, DenseMatrix]:
+    """Build (A, At) dense providers from a genes x cells array, padded so
+    each provider's column axis divides its masked-update block size."""
+    A = np.asarray(A)
+    genes, cells = A.shape
+    cb = pick_block(cells, cell_block)
+    gb = pick_block(genes, gene_block)
+    cells_pad = _round_up(cells, cb)
+    genes_pad = _round_up(genes, gb)
+    buf = np.zeros((genes_pad, cells_pad), dtype=np.float32)
+    buf[:genes, :cells] = A
+    nonempty_cells = np.zeros((cells_pad,), bool)
+    nonempty_cells[:cells] = (np.abs(A) > 0).any(axis=0)
+    nonempty_genes = np.zeros((genes_pad,), bool)
+    nonempty_genes[:genes] = (np.abs(A) > 0).any(axis=1)
+    Ap = DenseMatrix(
+        data=jnp.asarray(buf, dtype=dtype),
+        nonempty=jnp.asarray(nonempty_cells),
+        rows_true=genes, cols_true=cells, cols_are_cells=True,
+    )
+    Atp = DenseMatrix(
+        data=jnp.asarray(buf.T, dtype=dtype),
+        nonempty=jnp.asarray(nonempty_genes),
+        rows_true=cells, cols_true=genes, cols_are_cells=False,
+    )
+    return Ap, Atp
+
+
+# --------------------------------------------------------------------------
+# Half-updates
+# --------------------------------------------------------------------------
+
+def _half_update(P: DenseMatrix, X, Y_warm, L1, L2, link=None):
+    """Unmasked half-update: solve P's columns against factor matrix X.
+
+    Equivalent of ``predict`` / ``predict_link``
+    (reference:src/singlet.cpp:333-347,416-433).
+    """
+    a = gram(X)
+    B = P.t_matmul(X)
+    if link is not None:
+        B = B * link
+    return nnls_batch(a, B, Y_warm, L1=L1, L2=L2, update_mask=P.nonempty)
+
+
+def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
+                        inv_density: int, block: int):
+    """Masked half-update over column blocks (reference:src/singlet.cpp:436-466)."""
+    k = X.shape[1]
+    a_full = gram(X)
+    iu = triu_pairs(k)
+    P_pairs = packed_outer_products(X, iu)          # (rows_pad, npairs)
+    cols_pad = P.data.shape[1]
+    assert cols_pad % block == 0, (cols_pad, block)
+    n_blocks = cols_pad // block
+
+    def body(_, bi):
+        col_start = bi * block
+        m = P.mask_tile(seed, col_start, block, inv_density)     # (blk, rows)
+        tile = P.col_block(col_start, block)                     # (rows, blk)
+        keep = jnp.where(m.T, jnp.zeros((), X.dtype), jnp.ones((), X.dtype))
+        B = jnp.dot((tile * keep).T, X, precision=MM_PRECISION)  # (blk, k)
+        packed = jnp.dot(m.astype(X.dtype), P_pairs, precision=MM_PRECISION)
+        a_blk = a_full[None, :, :] - unpack_sym(packed, k, iu)
+        Y0 = jax.lax.dynamic_slice_in_dim(Y_warm, col_start, block, axis=0)
+        ne = jax.lax.dynamic_slice_in_dim(P.nonempty, col_start, block, axis=0)
+        Y = nnls_batch(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+        return None, Y
+
+    _, Ys = jax.lax.scan(body, None, jnp.arange(n_blocks))
+    return Ys.reshape(cols_pad, k)
+
+
+@partial(jax.jit, static_argnames=("inv_density", "block"))
+def mse_test(A: DenseMatrix, W, d, H, seed, inv_density: int, block: int):
+    """Held-out test-set MSE (reference:src/singlet.cpp:536-568).
+
+    mean over cells of (sum over masked genes of (w d h - A)^2 / n_masked).
+    """
+    Wd = W * d[None, :]
+    cols_pad = A.data.shape[1]
+    n_blocks = cols_pad // block
+
+    def body(acc, bi):
+        col_start = bi * block
+        m = A.mask_tile(seed, col_start, block, inv_density)      # (blk, genes)
+        tile = A.col_block(col_start, block)                      # (genes, blk)
+        Hb = jax.lax.dynamic_slice_in_dim(H, col_start, block, axis=0)
+        pred = jnp.dot(Hb, Wd.T, precision=MM_PRECISION)          # (blk, genes)
+        diff2 = jnp.square(pred - tile.T)
+        s = jnp.sum(jnp.where(m, diff2, 0.0), axis=1)
+        n = jnp.sum(m, axis=1)
+        losses = jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
+        return acc + jnp.sum(losses), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), W.dtype), jnp.arange(n_blocks))
+    return total / A.cols_true
+
+
+# --------------------------------------------------------------------------
+# Full ALS iterations (one fused jit each)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def als_step(A: DenseMatrix, At: DenseMatrix, W, H, L1_h, L1_w, L2_h, L2_w,
+             link_h=None, link_w=None):
+    """One ALS iteration: h-update, rescale, w-update, rescale, tol.
+
+    reference:src/singlet.cpp:647-664 (c_nmf_base) and :1073-1084 (linked).
+    """
+    H = _half_update(A, W, H, L1_h, L2_h, link=link_h)
+    H, d = scale_columns(H)
+    W_new = _half_update(At, H, W, L1_w, L2_w, link=link_w)
+    W_new, d = scale_columns(W_new)
+    tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true])
+    return W_new, H, d, tol
+
+
+@partial(jax.jit, static_argnames=("inv_density", "cell_block", "gene_block"))
+def als_step_masked(A: DenseMatrix, At: DenseMatrix, W, H, seed, L1, L2,
+                    inv_density: int, cell_block: int, gene_block: int):
+    """One masked ALS iteration (reference:src/singlet.cpp:1107-1114)."""
+    H = _half_update_masked(A, W, H, seed, L1, L2, inv_density, cell_block)
+    H, d = scale_columns(H)
+    W_new = _half_update_masked(At, H, W, seed, L1, L2, inv_density, gene_block)
+    W_new, d = scale_columns(W_new)
+    tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true])
+    return W_new, H, d, tol
+
+
+# --------------------------------------------------------------------------
+# Fit drivers
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FitResult:
+    w: np.ndarray            # (genes, k) — true rows only
+    d: np.ndarray            # (k,)
+    h: np.ndarray            # (k, cells) — reference orientation
+    tol: float
+    n_iter: int
+    tol_trace: list
+
+
+def _as_pair(x) -> Tuple[float, float]:
+    if isinstance(x, (tuple, list)):
+        return float(x[0]), float(x[1] if len(x) > 1 else x[0])
+    return float(x), float(x)
+
+
+def init_w(k: int, genes_pad: int, genes_true: int, seed: int) -> jnp.ndarray:
+    """Uniform(0,1) init of W (genes, k), zero on padded rows.
+
+    Counterpart of ``w_init = matrix(runif(nrow(A) * rank), rank, nrow(A))``
+    (reference:R/run_nmf.R:56). Nested inits for rank search slice columns
+    of a k_max-wide matrix (reference:R/ard_nmf.R:72,105)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
+    w = jax.random.uniform(key, (genes_pad, k), dtype=jnp.float32)
+    rows = jnp.arange(genes_pad) < genes_true
+    return jnp.where(rows[:, None], w, 0.0)
+
+
+def nmf_fit(
+    A: Union[np.ndarray, DenseMatrix],
+    k: int,
+    At: Optional[DenseMatrix] = None,
+    w_init: Optional[jnp.ndarray] = None,
+    tol: float = 1e-4,
+    maxit: int = 100,
+    L1: Union[float, Tuple[float, float]] = 0.01,
+    L2: Union[float, Tuple[float, float]] = 0.0,
+    seed: int = 0,
+    verbose: bool = False,
+    link_h: Optional[jnp.ndarray] = None,
+    link_w: Optional[jnp.ndarray] = None,
+) -> FitResult:
+    """Fit NMF by ALS: the engine under ``run_nmf`` (reference:R/run_nmf.R:18-77,
+    solver loop reference:src/singlet.cpp:639-666).
+
+    L1/L2 may be scalars or (w, h) pairs, matching ``c_nmf``'s split
+    penalties. ``link_h``/``link_w`` are 0/1 linking masks of shape
+    (cells, k) / (genes, k) for linked NMF (reference:src/singlet.cpp:1059-1086).
+    """
+    if isinstance(A, DenseMatrix):
+        assert At is not None, "pass both providers or a raw array"
+        Ap, Atp = A, At
+    else:
+        Ap, Atp = make_dense_providers(np.asarray(A))
+
+    genes_pad = Ap.data.shape[0]
+    cells_pad = Ap.data.shape[1]
+    if w_init is None:
+        W = init_w(k, genes_pad, Ap.rows_true, seed)
+    else:
+        W = jnp.zeros((genes_pad, k), jnp.float32)
+        W = W.at[: w_init.shape[0]].set(jnp.asarray(w_init, jnp.float32))
+    H = jnp.zeros((cells_pad, k), jnp.float32)
+    d = jnp.ones((k,), jnp.float32)
+
+    L1_w, L1_h = _as_pair(L1)
+    L2_w, L2_h = _as_pair(L2)
+
+    if link_h is not None:
+        lh = jnp.zeros((cells_pad, k), jnp.float32)
+        link_h = lh.at[: link_h.shape[0]].set(jnp.asarray(link_h, jnp.float32))
+    if link_w is not None:
+        lw = jnp.zeros((genes_pad, k), jnp.float32)
+        link_w = lw.at[: link_w.shape[0]].set(jnp.asarray(link_w, jnp.float32))
+
+    tol_trace = []
+    tol_ = 1.0
+    it = 0
+    for it in range(maxit):
+        if tol_ <= tol:
+            break
+        W, H, d, tol_j = als_step(Ap, Atp, W, H, L1_h, L1_w, L2_h, L2_w,
+                                  link_h, link_w)
+        tol_ = float(tol_j)
+        tol_trace.append(tol_)
+        if verbose:
+            print(f"{it + 1:4d} | {tol_:8.2e}")
+
+    return FitResult(
+        w=np.asarray(W[: Ap.rows_true]),
+        d=np.asarray(d),
+        h=np.asarray(H[: Ap.cols_true]).T,
+        tol=tol_,
+        n_iter=len(tol_trace),
+        tol_trace=tol_trace,
+    )
