@@ -19,14 +19,23 @@ Reference parity map: see SURVEY.md at the repo root. Citations of the form
 ``reference:src/singlet.cpp:NNN`` in docstrings point into /root/reference.
 """
 
-_TODO = True
 from singlet_tpu.config import NMFConfig
+from singlet_tpu.model import NMFModel
+from singlet_tpu.solvers.als import nmf_fit
+from singlet_tpu.solvers.ard import ard_nmf_fit
+from singlet_tpu.solvers.drivers import (
+    run_nmf,
+    ard_nmf,
+    cross_validate_nmf,
+    get_best_rank,
+    GetBestRank,
+)
+from singlet_tpu.solvers.linked import run_linked_nmf, build_link_matrix
+from singlet_tpu.solvers.project import project_model
 
 __version__ = "0.1.0"
 
-__all__ = [  # noqa
-]
-_unused = [
+__all__ = [
     "NMFConfig",
     "NMFModel",
     "nmf_fit",
@@ -37,6 +46,7 @@ _unused = [
     "get_best_rank",
     "GetBestRank",
     "run_linked_nmf",
+    "build_link_matrix",
     "project_model",
     "__version__",
 ]

@@ -78,12 +78,12 @@ def make_dense_providers(A: np.ndarray, cell_block: int = 2048,
     Ap = DenseMatrix(
         data=jnp.asarray(buf, dtype=dtype),
         nonempty=jnp.asarray(nonempty_cells),
-        rows_true=genes, cols_true=cells, cols_are_cells=True,
+        rows_true=genes, cols_true=cells, cols_are_cells=True, block=cb,
     )
     Atp = DenseMatrix(
         data=jnp.asarray(buf.T, dtype=dtype),
         nonempty=jnp.asarray(nonempty_genes),
-        rows_true=cells, cols_true=genes, cols_are_cells=False,
+        rows_true=cells, cols_true=genes, cols_are_cells=False, block=gb,
     )
     return Ap, Atp
 

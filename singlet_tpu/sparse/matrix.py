@@ -52,6 +52,8 @@ class DenseMatrix:
     rows_true: int = dataclasses.field(metadata=dict(static=True))
     cols_true: int = dataclasses.field(metadata=dict(static=True))
     cols_are_cells: bool = dataclasses.field(metadata=dict(static=True))
+    # column-block size for masked/blocked updates; divides data.shape[1]
+    block: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     # ------------------------------------------------------------- factory
     @classmethod
@@ -71,6 +73,7 @@ class DenseMatrix:
             rows_true=rows,
             cols_true=cols,
             cols_are_cells=cols_are_cells,
+            block=cp,
         )
 
     @classmethod
