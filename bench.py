@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark: ALS NMF throughput at k=50 on TPU vs the CPU reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The problem matches the CPU baseline bench (singlet_tpu/native/baseline_bench
+.cpp): genes=16384, cells=8192, k=50, ~7% density, L1=0.01 — a pbmc3k-class
+workload at 3x cells. The baseline denominator is the measured cells/s of the
+reference-semantics C++/OpenMP implementation on this host (see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CELLS_PER_S = None  # loaded from bench_baseline.json if present
+
+
+def _load_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_baseline.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def main():
+    baseline = _load_baseline()
+
+    import jax
+    import jax.numpy as jnp
+
+    from singlet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from singlet_tpu.solvers.als import als_step, make_dense_providers
+
+    genes, cells, k, density = 16384, 8192, 50, 0.07
+    rng = np.random.default_rng(42)
+    # synthetic sparse operand, same geometry as the C++ baseline bench
+    A = np.zeros((genes, cells), np.float32)
+    nnz_mask = rng.random((genes, cells)) < density
+    A[nnz_mask] = rng.uniform(0.1, 3.0, int(nnz_mask.sum())).astype(np.float32)
+
+    Ap, Atp = make_dense_providers(A)
+    genes_pad, cells_pad = Ap.data.shape
+    W = jnp.zeros((genes_pad, k), jnp.float32).at[:genes].set(
+        jnp.asarray(rng.random((genes, k)).astype(np.float32)))
+    H = jnp.zeros((cells_pad, k), jnp.float32)
+
+    l1 = jnp.float32(0.01)
+    l2 = jnp.float32(0.0)
+
+    # warmup: compile + 2 iterations (also moves past cold-start transients)
+    for _ in range(2):
+        W, H, d, tol = als_step(Ap, Atp, W, H, l1, l1, l2, l2, None, None)
+    jax.block_until_ready((W, H))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        W, H, d, tol = als_step(Ap, Atp, W, H, l1, l1, l2, l2, None, None)
+    jax.block_until_ready((W, H))
+    secs = time.perf_counter() - t0
+
+    ips = iters / secs
+    cells_per_s = ips * cells
+    base = (baseline or {}).get("cells_per_s")
+    vs = cells_per_s / base if base else None
+
+    out = {
+        "metric": "als_nmf_cells_per_s_k50",
+        "value": round(cells_per_s, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "iters_per_s": round(ips, 3),
+        "genes": genes,
+        "cells": cells,
+        "k": k,
+        "density": density,
+        "device": str(jax.devices()[0]),
+        "baseline_cells_per_s": base,
+        "final_tol": float(tol),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
