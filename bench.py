@@ -38,19 +38,31 @@ def main():
     from singlet_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    from singlet_tpu.solvers.als import als_step, make_dense_providers
+    from singlet_tpu.solvers.als import als_step
+    from singlet_tpu.sparse.matrix import DenseMatrix
 
     genes, cells, k, density = 16384, 8192, 50, 0.07
-    rng = np.random.default_rng(42)
-    # synthetic sparse operand, same geometry as the C++ baseline bench
-    A = np.zeros((genes, cells), np.float32)
-    nnz_mask = rng.random((genes, cells)) < density
-    A[nnz_mask] = rng.uniform(0.1, 3.0, int(nnz_mask.sum())).astype(np.float32)
+    # synthetic sparse operand generated ON DEVICE (the tunnel to the TPU is
+    # ~3 MB/s; shipping 1 GB from host would dominate the bench budget).
+    # Same geometry/density/value-range as the C++ baseline bench.
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
 
-    Ap, Atp = make_dense_providers(A)
-    genes_pad, cells_pad = Ap.data.shape
-    W = jnp.zeros((genes_pad, k), jnp.float32).at[:genes].set(
-        jnp.asarray(rng.random((genes, k)).astype(np.float32)))
+    @jax.jit
+    def gen():
+        mask = jax.random.uniform(k1, (genes, cells)) < density
+        vals = jax.random.uniform(k2, (genes, cells), minval=0.1, maxval=3.0)
+        return jnp.where(mask, vals, 0.0).astype(jnp.float32)
+
+    A = gen()
+    Ap = DenseMatrix(data=A, nonempty=jnp.any(A != 0, axis=0),
+                     rows_true=genes, cols_true=cells, cols_are_cells=True,
+                     block=cells)
+    Atp = DenseMatrix(data=A.T, nonempty=jnp.any(A != 0, axis=1),
+                      rows_true=cells, cols_true=genes, cols_are_cells=False,
+                      block=genes)
+    genes_pad, cells_pad = genes, cells
+    W = jax.random.uniform(k3, (genes_pad, k), dtype=jnp.float32)
     H = jnp.zeros((cells_pad, k), jnp.float32)
 
     l1 = jnp.float32(0.01)

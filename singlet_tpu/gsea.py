@@ -1,0 +1,222 @@
+"""Preranked gene-set enrichment analysis on factor loadings.
+
+Equivalent of ``RunGSEA`` (reference:R/RunGSEA.R:27-166): ranks = factor
+loading weights of w's columns, gene sets filtered to the reduction's genes
+and by size, per-factor enrichment, results padded to the union of pathways,
+-log10 p / padj matrices ordered by Ward hierarchical clustering, stored in
+``model.misc['gsea']``.
+
+The enrichment engine is a from-scratch implementation of the preranked GSEA
+statistic (weighted KS running-sum) with size-stratified permutation null
+distributions — the sampling scheme of fgsea's original "simple" method.
+Deviations from the reference noted: (1) fgsea's *multilevel* adaptive
+splitting for extreme p-values is not replicated; p-value resolution is
+bounded by ``nperm`` (2) msigdbr gene-set catalogs are not bundled (no
+network); pass ``gene_sets`` explicitly or load a .gmt file with
+:func:`read_gmt`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def read_gmt(path: str) -> Dict[str, List[str]]:
+    """Load gene sets from a GMT file (name <tab> desc <tab> genes...)."""
+    out: Dict[str, List[str]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 3:
+                out[parts[0]] = [g for g in parts[2:] if g]
+    return out
+
+
+def _es_from_hits(positions: np.ndarray, weights_cum: np.ndarray,
+                  NR: float, n: int, s: int):
+    """Enrichment score extremes given sorted hit positions (ascending).
+
+    positions: (batch, s) 0-based positions of hits in the descending-sorted
+    stats array; weights_cum: (batch, s) cumulative |stat| weights at hits.
+    Returns (pos_extreme, neg_extreme) per batch row.
+    """
+    j = np.arange(1, s + 1)[None, :]
+    miss_step = 1.0 / (n - s)
+    # running value AT hit j (inclusive): cumw_j/NR - (p_j + 1 - j) * miss_step
+    at_hit = weights_cum / NR - (positions + 1 - j) * miss_step
+    # running value just BEFORE hit j: cumw_{j-1}/NR - (p_j - (j-1)) * miss_step
+    before = (weights_cum - np.diff(np.concatenate(
+        [np.zeros((weights_cum.shape[0], 1)), weights_cum], axis=1), axis=1)) \
+        / NR - (positions - (j - 1)) * miss_step
+    pos_ext = at_hit.max(axis=1)
+    neg_ext = before.min(axis=1)
+    return pos_ext, neg_ext
+
+
+def _es_single(hit_mask: np.ndarray, absstats: np.ndarray, score_type: str):
+    """ES for one gene set over descending-sorted stats."""
+    n = absstats.size
+    s = int(hit_mask.sum())
+    if s == 0 or s == n:
+        return 0.0
+    pos = np.where(hit_mask)[0][None, :]
+    w = absstats[pos[0]]
+    NR = float(w.sum())
+    if NR == 0:
+        return 0.0
+    cumw = np.cumsum(w)[None, :]
+    pe, ne = _es_from_hits(pos.astype(np.float64), cumw, NR, n, s)
+    if score_type == "pos":
+        return float(pe[0])
+    if score_type == "neg":
+        return float(ne[0])
+    return float(pe[0]) if pe[0] > -ne[0] else float(ne[0])
+
+
+def fgsea_simple(ranks: pd.Series, pathways: Dict[str, Sequence[str]],
+                 min_size: int = 10, max_size: int = 500, nperm: int = 1000,
+                 score_type: str = "pos", seed: int = 0) -> pd.DataFrame:
+    """Preranked GSEA with size-stratified permutation p-values.
+
+    ranks: Series indexed by gene name (loading weights of one factor).
+    Returns DataFrame(pathway, pval, padj, ES, NES, size).
+    """
+    rng = np.random.default_rng(seed)
+    genes = np.asarray(ranks.index)
+    stats = np.asarray(ranks.to_numpy(), np.float64)
+    order = np.argsort(-stats, kind="stable")
+    genes_sorted = genes[order]
+    stats_sorted = stats[order]
+    absstats = np.abs(stats_sorted)
+    n = genes_sorted.size
+    gene_pos = {g: i for i, g in enumerate(genes_sorted)}
+
+    sets = {}
+    for name, members in pathways.items():
+        idx = np.array(sorted(gene_pos[g] for g in set(members) if g in gene_pos),
+                       dtype=np.int64)
+        if min_size < idx.size < max_size:
+            sets[name] = idx
+    if not sets:
+        return pd.DataFrame(columns=["pathway", "pval", "padj", "ES", "NES",
+                                     "size"])
+
+    # null distributions shared per set size
+    sizes = sorted({v.size for v in sets.values()})
+    nulls = {}
+    for s in sizes:
+        samples = np.sort(
+            rng.permuted(np.broadcast_to(np.arange(n), (nperm, n)), axis=1)
+            [:, :s], axis=1).astype(np.float64)
+        w = absstats[samples.astype(np.int64)]
+        cumw = np.cumsum(w, axis=1)
+        NRs = cumw[:, -1]
+        NRs[NRs == 0] = 1.0
+        j = np.arange(1, s + 1)[None, :]
+        miss_step = 1.0 / (n - s)
+        at_hit = cumw / NRs[:, None] - (samples + 1 - j) * miss_step
+        before = (cumw - w) / NRs[:, None] - (samples - (j - 1)) * miss_step
+        nulls[s] = (at_hit.max(axis=1), before.min(axis=1))
+
+    rows = []
+    for name, idx in sets.items():
+        s = idx.size
+        es = _es_single(np.isin(np.arange(n), idx), absstats, score_type)
+        pos_null, neg_null = nulls[s]
+        if score_type == "pos" or (score_type == "std" and es >= 0):
+            null = pos_null
+            exceed = int(np.sum(null >= es))
+            denom = max(float(np.mean(np.abs(null[null >= 0]))), 1e-12) \
+                if np.any(null >= 0) else 1e-12
+        else:
+            null = neg_null
+            exceed = int(np.sum(null <= es))
+            denom = max(float(np.mean(np.abs(null[null <= 0]))), 1e-12) \
+                if np.any(null <= 0) else 1e-12
+        pval = (exceed + 1) / (null.size + 1)
+        rows.append((name, pval, es, es / denom, s))
+
+    df = pd.DataFrame(rows, columns=["pathway", "pval", "ES", "NES", "size"])
+    from singlet_tpu.annotate import bh_fdr
+    df["padj"] = bh_fdr(df["pval"].to_numpy())
+    return df[["pathway", "pval", "padj", "ES", "NES", "size"]]
+
+
+def _ward_order(X: np.ndarray):
+    from scipy.cluster.hierarchy import leaves_list, linkage
+
+    if X.shape[0] < 3:
+        return np.arange(X.shape[0])
+    ok = ~np.isnan(X).any(axis=1)
+    order = leaves_list(linkage(X[ok], method="ward"))
+    full = np.where(ok)[0][order]
+    rest = np.where(~ok)[0]
+    return np.concatenate([full, rest])
+
+
+def run_gsea(model, gene_sets: Dict[str, Sequence[str]],
+             min_size: int = 10, max_size: int = 500, nperm: int = 1000,
+             dims: Optional[Sequence[int]] = None, padj_sig: float = 0.01,
+             score_type: str = "pos", verbose: bool = False, seed: int = 0,
+             gsea_name: str = "gsea"):
+    """GSEA over every factor's loadings; store -log10 matrices in misc.
+
+    Returns dict(pval, padj, es, nes) of DataFrames (pathways x factors),
+    rows/cols ordered by Ward clustering of -log10(padj)
+    (reference:R/RunGSEA.R:118-130).
+    """
+    w = np.asarray(model.w)
+    names = model.factor_names
+    if model.gene_names is None:
+        raise ValueError("model has no gene_names; GSEA needs named genes")
+    genes = list(model.gene_names)
+    cols = list(range(w.shape[1])) if dims is None else list(dims)
+
+    # filter genes to those covered by any pathway (reference:R/RunGSEA.R:55-57)
+    covered = set()
+    for members in gene_sets.values():
+        covered.update(members)
+    keep = [i for i, g in enumerate(genes) if g in covered]
+    w = w[keep]
+    genes = [genes[i] for i in keep]
+    rs = w.sum(axis=1)
+    nz = rs != 0
+    w = w[nz]
+    genes = [g for g, ok in zip(genes, nz) if ok]
+
+    per_factor = {}
+    for ci in cols:
+        ranks = pd.Series(w[:, ci], index=genes)
+        res = fgsea_simple(ranks, gene_sets, min_size=min_size,
+                           max_size=max_size, nperm=nperm,
+                           score_type=score_type, seed=seed)
+        per_factor[names[ci]] = res.set_index("pathway")
+        if verbose:
+            print(f"{names[ci]}: {len(res)} pathways", flush=True)
+
+    all_paths = sorted(set().union(*[set(df.index) for df in per_factor.values()]))
+    def mat(field):
+        M = pd.DataFrame(index=all_paths,
+                         columns=[names[c] for c in cols], dtype=float)
+        for fname, df in per_factor.items():
+            M.loc[df.index, fname] = df[field]
+        return M
+
+    pval, padj = mat("pval"), mat("padj")
+    es, nes = mat("ES"), mat("NES")
+    lpadj = -np.log10(padj.astype(float))
+    lpval = -np.log10(pval.astype(float))
+
+    ro = _ward_order(np.nan_to_num(lpadj.to_numpy(), nan=0.0))
+    co = _ward_order(np.nan_to_num(lpadj.to_numpy(), nan=0.0).T)
+    out = {
+        "pval": lpval.iloc[ro, co],
+        "padj": lpadj.iloc[ro, co],
+        "es": es.iloc[ro, co],
+        "nes": nes.iloc[ro, co],
+    }
+    model.misc[gsea_name] = out
+    return out

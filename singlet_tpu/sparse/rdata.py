@@ -1,0 +1,313 @@
+"""Minimal reader for R's serialization format (RData / RDS, version 2/3).
+
+Just enough of the grammar to load the reference's bundled pbmc3k dataset
+(reference:data/pbmc3k.RData; structure per reference:R/get_pbmc3k_data.R:14-20:
+a named list with dgCMatrix slots i/p/Dim/Dimnames, an rle-compressed x, and a
+cell_type factor). No R installation or third-party reader is available in
+this environment, so this is implemented from the public serialization
+grammar: big-endian XDR, 4-byte flag words (sexptype | levels<<12 | attr/tag
+bits), typed vector payloads, pairlist attributes, reference table for
+symbols/environments, and the ALTREP compact-intseq wrapper R >= 3.5 uses for
+1:n sequences.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+# SEXP type codes
+NILSXP = 0
+SYMSXP = 1
+LISTSXP = 2
+CLOSXP = 3
+ENVSXP = 4
+PROMSXP = 5
+LANGSXP = 6
+CHARSXP = 9
+LGLSXP = 10
+INTSXP = 13
+REALSXP = 14
+CPLXSXP = 15
+STRSXP = 16
+VECSXP = 19
+EXPRSXP = 20
+RAWSXP = 24
+S4SXP = 25
+
+# special pseudo-types
+REFSXP = 255
+NILVALUE_SXP = 254
+GLOBALENV_SXP = 253
+UNBOUNDVALUE_SXP = 252
+MISSINGARG_SXP = 251
+BASENAMESPACE_SXP = 250
+NAMESPACESXP = 249
+PACKAGESXP = 248
+PERSISTSXP = 247
+EMPTYENV_SXP = 242
+BASEENV_SXP = 241
+ALTREP_SXP = 238
+ATTRLISTSXP = 240  # not a real code; placeholder
+
+
+@dataclass
+class RObj:
+    """Parsed R object: data + attributes."""
+
+    type: str
+    value: Any
+    attrs: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def names(self) -> Optional[List[str]]:
+        n = self.attrs.get("names")
+        return None if n is None else list(n.value)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.value[self.names.index(key)]
+        return self.value[key]
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.refs: List[Any] = []
+
+    def _take(self, n: int) -> bytes:
+        b = self.data[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated R serialization stream")
+        self.pos += n
+        return b
+
+    def u8(self) -> int:
+        return self._take(1)[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack(">d", self._take(8))[0]
+
+    def length(self) -> int:
+        n = self.i32()
+        if n == -1:  # long vector: two 32-bit words
+            hi = self.i32()
+            lo = self.i32()
+            return (hi << 32) | (lo & 0xFFFFFFFF)
+        return n
+
+    # ---------------------------------------------------------------- items
+    def read_item(self) -> Any:
+        flags = self.i32()
+        sexptype = flags & 0xFF
+        has_attr = bool(flags & 0x200)
+        has_tag = bool(flags & 0x400)
+
+        if sexptype == NILVALUE_SXP or sexptype == NILSXP:
+            return None
+        if sexptype == REFSXP:
+            idx = flags >> 8
+            if idx == 0:
+                idx = self.i32()
+            return self.refs[idx - 1]
+        if sexptype in (GLOBALENV_SXP, EMPTYENV_SXP, BASEENV_SXP,
+                        UNBOUNDVALUE_SXP, MISSINGARG_SXP, BASENAMESPACE_SXP):
+            return RObj("env", None)
+        if sexptype == SYMSXP:
+            name = self.read_item()  # CHARSXP
+            sym = RObj("symbol", name)
+            self.refs.append(sym)
+            return sym
+        if sexptype in (PACKAGESXP, NAMESPACESXP, PERSISTSXP):
+            strs = self._read_stringvec_raw()
+            obj = RObj("namespace", strs)
+            self.refs.append(obj)
+            return obj
+        if sexptype == ENVSXP:
+            self.i32()  # locked
+            enclos = self.read_item()
+            frame = self.read_item()
+            hashtab = self.read_item()
+            attr = self.read_item()
+            obj = RObj("env", (enclos, frame, hashtab, attr))
+            self.refs.append(obj)
+            return obj
+        if sexptype in (LISTSXP, LANGSXP, CLOSXP, PROMSXP):
+            attrs = self.read_item() if has_attr else None
+            tag = self.read_item() if has_tag else None
+            car = self.read_item()
+            cdr = self.read_item()
+            return RObj("pairlist", (tag, car, cdr),
+                        attrs=_pairlist_to_dict(attrs) if attrs else {})
+        if sexptype == CHARSXP:
+            n = self.i32()
+            if n == -1:
+                return None  # NA_character_
+            return self._take(n).decode("utf-8", errors="replace")
+        if sexptype == LGLSXP:
+            n = self.length()
+            v = np.frombuffer(self._take(4 * n), dtype=">i4").astype(np.int32)
+            out = RObj("logical", v)
+        elif sexptype == INTSXP:
+            n = self.length()
+            v = np.frombuffer(self._take(4 * n), dtype=">i4").astype(np.int32)
+            out = RObj("integer", v)
+        elif sexptype == REALSXP:
+            n = self.length()
+            v = np.frombuffer(self._take(8 * n), dtype=">f8").astype(np.float64)
+            out = RObj("double", v)
+        elif sexptype == STRSXP:
+            n = self.length()
+            out = RObj("character", [self.read_item() for _ in range(n)])
+        elif sexptype == VECSXP or sexptype == EXPRSXP:
+            n = self.length()
+            out = RObj("list", [self.read_item() for _ in range(n)])
+        elif sexptype == RAWSXP:
+            n = self.length()
+            out = RObj("raw", np.frombuffer(self._take(n), dtype=np.uint8))
+        elif sexptype == CPLXSXP:
+            n = self.length()
+            v = np.frombuffer(self._take(16 * n), dtype=">c16")
+            out = RObj("complex", v.astype(np.complex128))
+        elif sexptype == S4SXP:
+            attrs = self.read_item() if has_attr else None
+            return RObj("s4", None,
+                        attrs=_pairlist_to_dict(attrs) if attrs else {})
+        elif sexptype == ALTREP_SXP:
+            info = self.read_item()     # list(class symbol, package, type)
+            state = self.read_item()
+            self.read_item()            # attributes (usually NULL)
+            return _expand_altrep(info, state)
+        else:
+            raise NotImplementedError(
+                f"R serialization SEXP type {sexptype} not supported")
+
+        if has_attr:
+            attrs = self.read_item()
+            out.attrs = _pairlist_to_dict(attrs)
+        return out
+
+    def _read_stringvec_raw(self):
+        # PERSISTSXP/PACKAGESXP/NAMESPACESXP carry a raw string vector
+        self.i32()  # version/flags int (0)
+        n = self.i32()
+        return [self.read_item() for _ in range(n)]
+
+
+def _pairlist_to_dict(pl) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    node = pl
+    while isinstance(node, RObj) and node.type == "pairlist":
+        tag, car, cdr = node.value
+        if isinstance(tag, RObj) and tag.type == "symbol":
+            out[tag.value] = car
+        node = cdr
+    return out
+
+
+def _expand_altrep(info, state):
+    """Materialize the ALTREP wrappers R commonly serializes."""
+    cls = info.value[0]
+    cls_name = cls.value if isinstance(cls, RObj) else str(cls)
+    if cls_name == "compact_intseq":
+        n, start, step = state.value
+        return RObj("integer",
+                    (np.arange(n) * int(step) + int(start)).astype(np.int32))
+    if cls_name == "compact_realseq":
+        n, start, step = state.value
+        return RObj("double", np.arange(n) * float(step) + float(start))
+    if cls_name in ("wrap_integer", "wrap_real", "wrap_string",
+                    "wrap_logical", "deferred_string"):
+        payload = state.value[0] if isinstance(state, RObj) else state
+        return payload
+    raise NotImplementedError(f"ALTREP class {cls_name!r} not supported")
+
+
+def _parse_stream(data: bytes):
+    r = _Reader(data)
+    magic = r._take(2)
+    if magic == b"X\n":
+        pass
+    elif magic == b"A\n":
+        raise NotImplementedError("ASCII R serialization not supported")
+    elif magic == b"B\n":
+        raise NotImplementedError("native-binary R serialization not supported")
+    else:
+        raise ValueError(f"unrecognized R serialization header {magic!r}")
+    version = r.i32()
+    r.i32()  # writer R version
+    r.i32()  # min reader version
+    if version >= 3:
+        enc_len = r.i32()
+        r._take(enc_len)  # native encoding string
+    return r
+
+
+def _decompress(raw: bytes) -> bytes:
+    if raw[:2] == b"\x1f\x8b":
+        return gzip.decompress(raw)
+    if raw[:3] == b"BZh":
+        import bz2
+        return bz2.decompress(raw)
+    if raw[:6] == b"\xfd7zXZ\x00":
+        import lzma
+        return lzma.decompress(raw)
+    return raw
+
+
+def read_rds(path: str):
+    """Read a single-object .rds file."""
+    data = _decompress(open(path, "rb").read())
+    return _parse_stream(data).read_item()
+
+
+def read_rdata(path: str) -> Dict[str, Any]:
+    """Read a workspace .RData file -> {name: RObj}."""
+    data = _decompress(open(path, "rb").read())
+    if not data.startswith(b"RD"):
+        raise ValueError("not an RData workspace file")
+    # header line like 'RDX3\n'
+    nl = data.index(b"\n")
+    r = _parse_stream(data[nl + 1:])
+    # the workspace is a pairlist of (symbol, value)
+    out: Dict[str, Any] = {}
+    node = r.read_item()
+    while isinstance(node, RObj) and node.type == "pairlist":
+        tag, car, cdr = node.value
+        name = tag.value if isinstance(tag, RObj) else str(tag)
+        out[name] = car
+        node = cdr
+    return out
+
+
+def r_to_python(obj):
+    """Best-effort conversion of an RObj tree to plain Python/numpy."""
+    if obj is None:
+        return None
+    if not isinstance(obj, RObj):
+        return obj
+    if obj.type in ("integer", "double", "logical", "raw", "complex"):
+        # factor: integer codes + levels attribute
+        levels = obj.attrs.get("levels")
+        cls = obj.attrs.get("class")
+        if levels is not None and cls is not None and "factor" in list(cls.value):
+            lv = [r_to_python(s) for s in levels.value]
+            return np.array([lv[i - 1] if i >= 1 else None for i in obj.value])
+        return obj.value
+    if obj.type == "character":
+        return list(obj.value)
+    if obj.type == "list":
+        vals = [r_to_python(v) for v in obj.value]
+        names = obj.names
+        if names is not None:
+            return dict(zip(names, vals))
+        return vals
+    return obj

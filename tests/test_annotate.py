@@ -1,0 +1,96 @@
+"""Annotation engine tests: design construction, OLS, eBayes moderation,
+and end-to-end factor-group association recovery."""
+
+import numpy as np
+import pandas as pd
+
+from singlet_tpu.annotate import (
+    annotate_nmf,
+    bh_fdr,
+    check_columns,
+    ebayes,
+    lm_fit,
+    model_matrix,
+    squeeze_var,
+)
+from singlet_tpu.model import NMFModel
+
+
+def test_model_matrix_one_vs_all():
+    groups = np.array(["b", "a", "b", None, "c"], dtype=object)
+    X, levels, kept = model_matrix(groups)
+    assert levels == ["a", "b", "c"]
+    assert list(kept) == [0, 1, 2, 4]
+    np.testing.assert_array_equal(X.sum(axis=1), 1.0)  # disjoint indicators
+    np.testing.assert_array_equal(X[:, 1], [1, 0, 1, 0])
+
+
+def test_check_columns_filters():
+    meta = {
+        "ok": np.array(["a", "b", "a"], dtype=object),
+        "numeric": np.array([1.0, 2.0, 3.0]),
+        "single": np.array(["x", "x", "x"], dtype=object),
+    }
+    assert check_columns(meta, None) == ["ok"]
+
+
+def test_lm_fit_means_model_recovers_group_means(rng):
+    groups = np.repeat(["a", "b", "c"], 10)
+    X, levels, kept = model_matrix(groups)
+    data = rng.normal(size=(4, 30))
+    data[0, :10] += 5.0  # row 0 strongly up in group a
+    fit = lm_fit(data, X)
+    np.testing.assert_allclose(fit["coefficients"][0, 0], data[0, :10].mean(),
+                               rtol=1e-10)
+    assert fit["df_residual"] == 27
+    # stdev.unscaled for a group mean = 1/sqrt(n_group)
+    np.testing.assert_allclose(fit["stdev_unscaled"][0],
+                               [1 / np.sqrt(10)] * 3, rtol=1e-10)
+
+
+def test_ebayes_moderation_shrinks_towards_prior(rng):
+    groups = np.repeat(["a", "b"], 8)
+    X, _, _ = model_matrix(groups)
+    data = rng.normal(size=(30, 16))
+    fit = lm_fit(data, X)
+    eb = ebayes(fit)
+    s2 = fit["sigma2"]
+    s2p = eb["s2_post"]
+    # posterior variances are pulled towards the prior: reduced spread
+    assert s2p.std() < s2.std()
+    assert eb["df_total"] > fit["df_residual"]
+
+
+def test_squeeze_var_handles_constant():
+    # constant sample variances -> infinite prior df; prior scale carries the
+    # chi-square log-moment correction exp(log(df/2) - digamma(df/2))
+    from scipy.special import digamma
+    s2 = np.full(10, 2.0)
+    s2p, s20, df0 = squeeze_var(s2, df=5)
+    assert np.isinf(df0)
+    want = 2.0 * np.exp(np.log(2.5) - digamma(2.5))
+    np.testing.assert_allclose(s2p, want, rtol=1e-6)
+
+
+def test_bh_fdr_matches_known():
+    p = np.array([0.01, 0.02, 0.03, 0.5])
+    out = bh_fdr(p)
+    np.testing.assert_allclose(out, [0.04, 0.04, 0.04, 0.5])
+
+
+def test_annotate_recovers_planted_association(rng):
+    # h: factor 0 loads on cells of type "T", factor 1 on "B"
+    k, cells = 3, 60
+    types = np.array(["T"] * 20 + ["B"] * 20 + ["NK"] * 20, dtype=object)
+    h = rng.random((k, cells)) * 0.1
+    h[0, types == "T"] += 1.0
+    h[1, types == "B"] += 1.0
+    model = NMFModel(w=rng.random((10, k)), d=np.ones(k), h=h)
+    res = annotate_nmf(model, {"cell_type": types})
+    df = res["cell_type"]
+    assert set(df.columns) == {"group", "factor", "fc", "p"}
+    top_T = df[df["group"] == "T"].sort_values("p").iloc[0]
+    top_B = df[df["group"] == "B"].sort_values("p").iloc[0]
+    assert top_T["factor"] == "NMF_1" and top_T["p"] < 1e-4
+    assert top_B["factor"] == "NMF_2" and top_B["p"] < 1e-4
+    assert "annotations" in model.misc

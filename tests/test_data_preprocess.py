@@ -1,0 +1,84 @@
+"""pbmc3k fixture loading and preprocessing parity tests."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from singlet_tpu.data import load_pbmc3k
+from singlet_tpu.preprocess import (
+    log_normalize,
+    looks_like_counts,
+    normit,
+    rasterize_rowwise,
+    weight_by_split,
+)
+
+
+@pytest.fixture(scope="module")
+def pbmc3k():
+    return load_pbmc3k()
+
+
+def test_pbmc3k_shape_and_content(pbmc3k):
+    # 2,700 PBMCs from 10x Genomics (reference:R/get_pbmc3k_data.R)
+    assert pbmc3k.counts.shape[1] == 2700
+    assert pbmc3k.counts.shape[0] > 10000
+    assert pbmc3k.counts.nnz == 2282976
+    assert len(pbmc3k.gene_names) == pbmc3k.counts.shape[0]
+    assert len(pbmc3k.cell_names) == 2700
+    assert len(pbmc3k.meta["cell_type"]) == 2700
+    # counts are nonnegative integers
+    assert (pbmc3k.counts.data >= 0).all()
+    assert looks_like_counts(pbmc3k.counts)
+    # known marker genes present
+    assert "CD3E" in pbmc3k.gene_names
+    types = {t for t in pbmc3k.meta["cell_type"] if t is not None}
+    assert len(types) >= 5 and "B" in types
+
+
+def test_log_normalize_matches_seurat_formula(pbmc3k):
+    A = pbmc3k.counts[:, :50]
+    N = log_normalize(A)
+    assert not looks_like_counts(N)
+    dense = np.asarray(A.todense(), np.float64)
+    expected = np.log1p(dense / dense.sum(0, keepdims=True) * 1e4)
+    np.testing.assert_allclose(np.asarray(N.todense()), expected, rtol=1e-5)
+
+
+def test_weight_by_split():
+    A = sp.csc_matrix(np.array([[1.0, 2.0, 4.0, 8.0],
+                                [1.0, 2.0, 4.0, 8.0]], np.float32))
+    groups = np.array([0, 0, 1, 1])
+    W = weight_by_split(A, groups)
+    sums = np.asarray(W.sum(axis=0)).ravel()
+    # each group now sums to group 0's total (6)
+    assert abs(sums[:2].sum() - 6) < 1e-5
+    assert abs(sums[2:].sum() - 6) < 1e-5
+    # group 0 unchanged
+    np.testing.assert_allclose(np.asarray(W.todense())[:, :2],
+                               np.asarray(A.todense())[:, :2])
+    # string labels accepted
+    W2 = weight_by_split(A, np.array(["x", "x", "y", "y"]))
+    np.testing.assert_allclose(np.asarray(W2.todense()),
+                               np.asarray(W.todense()))
+
+
+def test_rasterize_rowwise_sparse_dense_agree(rng):
+    A = rng.random((23, 7))
+    A[A < 0.5] = 0
+    d = rasterize_rowwise(A, n=5)
+    s = rasterize_rowwise(sp.csc_matrix(A), n=5)
+    assert d.shape == (4, 7)
+    np.testing.assert_allclose(d, s, rtol=1e-12)
+    # bin 0 = mean of rows 0..4
+    np.testing.assert_allclose(d[0], A[:5].sum(0) / 5)
+
+
+def test_normit_matches_r_formula():
+    x = np.array([3.0, 1.0, 2.0, 2.0, np.nan])
+    out = normit(x)
+    from scipy.stats import norm
+    # ranks (average ties): 4, 1, 2.5, 2.5; n_unique = 3
+    expected = norm.ppf((np.array([4, 1, 2.5, 2.5]) - 0.5) / 3)
+    np.testing.assert_allclose(out[:4], expected)
+    assert np.isnan(out[4])
