@@ -1,0 +1,254 @@
+"""The ecosystem object API: dataset + reductions + graphs in one workflow.
+
+TPU-native equivalent of the reference's L4 layer — the S3 methods dispatched
+on Seurat / SingleCellExperiment objects (``RunNMF`` reference:R/RunNMF.R,
+``RunLNMF`` reference:R/RunLNMF.R:98-190, ``ProjectData``
+reference:R/ProjectData.R, ``PreprocessData``, ``FindLocalNeighbors``
+reference:R/FindLocalNeighbors.R, ``AnnotateNMF``, ``RunGSEA``). Instead of
+monkey-patching third-party classes, a single :class:`Experiment` carries the
+counts, metadata, fitted reductions and graphs, with methods mirroring the
+reference's argument names and dispatch rules.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+import scipy.sparse as sp
+
+from singlet_tpu.data import CellDataset
+from singlet_tpu.model import NMFModel
+from singlet_tpu.preprocess import log_normalize, looks_like_counts, weight_by_split
+from singlet_tpu.solvers import drivers
+from singlet_tpu.solvers.linked import build_link_matrix, run_linked_nmf
+from singlet_tpu.solvers.project import project_model
+
+
+@dataclass
+class Experiment:
+    """counts/data (genes x cells), per-cell metadata, reductions, graphs."""
+
+    counts: Optional[sp.spmatrix] = None
+    data: Optional[sp.spmatrix] = None          # normalized
+    gene_names: Optional[list] = None
+    cell_names: Optional[list] = None
+    meta: Dict[str, np.ndarray] = field(default_factory=dict)
+    reductions: Dict[str, NMFModel] = field(default_factory=dict)
+    graphs: Dict[str, sp.spmatrix] = field(default_factory=dict)
+
+    # ------------------------------------------------------------ factory
+    @classmethod
+    def from_dataset(cls, ds: CellDataset) -> "Experiment":
+        return cls(counts=ds.counts, gene_names=list(ds.gene_names),
+                   cell_names=list(ds.cell_names), meta=dict(ds.meta))
+
+    @property
+    def n_genes(self) -> int:
+        m = self.data if self.data is not None else self.counts
+        return m.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        m = self.data if self.data is not None else self.counts
+        return m.shape[1]
+
+    # ------------------------------------------------------- preprocessing
+    def preprocess_data(self, scale_factor: float = 1e4) -> "Experiment":
+        """LogNormalize counts into .data (reference:R/PreprocessData.R)."""
+        src = self.counts if self.counts is not None else self.data
+        self.data = log_normalize(src, scale_factor)
+        return self
+
+    def _assay(self):
+        """Normalized data, auto-preprocessing raw counts exactly like
+        RunNMF.Seurat's integer-sum test (reference:R/RunNMF.R:66-69)."""
+        if self.data is None or looks_like_counts(self.data):
+            self.preprocess_data()
+        return self.data
+
+    # --------------------------------------------------------------- NMF
+    def run_nmf(self, k=None, split_by: Optional[str] = None, reps: int = 3,
+                tol: float = 1e-5, L1: float = 0.01, L2: float = 0.0,
+                verbose: Union[int, bool] = 1, reduction_name: str = "nmf",
+                reduction_key: str = "NMF_", maxit: int = 100,
+                test_set_density: float = 0.05, learning_rate: float = 0.8,
+                tol_overfit: float = 1e-4, trace_test_mse: int = 5,
+                features: Optional[Sequence] = None, seed: int = 0,
+                ) -> "Experiment":
+        """RunNMF dispatch (reference:R/RunNMF.R:101-151): k=None -> automatic
+        rank determination; k a sequence -> cross-validation then final fit;
+        scalar k -> fixed-rank fit. Stores an NMFModel reduction."""
+        A = self._assay()
+        gene_names = self.gene_names
+        if features is not None:
+            if isinstance(features, str) and features == "var.features":
+                raise ValueError("variable-feature selection requires a "
+                                 "precomputed var_features list in meta")
+            idx = self._feature_indices(features)
+            A = A[idx, :]
+            gene_names = [self.gene_names[i] for i in idx] if self.gene_names else None
+        if split_by is not None:
+            codes = self._split_codes(split_by)
+            A = weight_by_split(A, codes)
+
+        cv_data = None
+        if k is not None and np.ndim(k) > 0 and len(np.atleast_1d(k)) > 1:
+            cv_data = drivers.cross_validate_nmf(
+                A, ranks=list(np.atleast_1d(k)), n_replicates=reps,
+                tol=tol * 10, maxit=maxit, verbose=verbose, L1=L1, L2=L2,
+                test_density=test_set_density, tol_overfit=tol_overfit,
+                trace_test_mse=trace_test_mse, seed=seed)
+            best = drivers.get_best_rank(cv_data, tol_overfit)
+            if verbose:
+                print(f"best rank: {best}")
+            model = drivers.run_nmf(A, best, tol=tol, maxit=maxit,
+                                    verbose=verbose, L1=L1, L2=L2, seed=seed)
+        elif k is None:
+            model = drivers.ard_nmf(
+                A, k_init=None, k_max=10000, k_min=2, n_replicates=reps,
+                tol=tol, cv_tol=tol * 10, maxit=maxit, verbose=verbose,
+                L1=L1, L2=L2, test_density=test_set_density,
+                learning_rate=learning_rate, tol_overfit=tol_overfit,
+                trace_test_mse=trace_test_mse, seed=seed)
+            cv_data = model.cv_data
+        else:
+            model = drivers.run_nmf(A, int(np.atleast_1d(k)[0]), tol=tol,
+                                    maxit=maxit, verbose=verbose, L1=L1,
+                                    L2=L2, seed=seed)
+        model.gene_names = gene_names
+        model.cell_names = self.cell_names
+        model.reduction_key = reduction_key
+        model.cv_data = cv_data if cv_data is not None else model.cv_data
+        self.reductions[reduction_name] = model
+        return self
+
+    # -------------------------------------------------------------- LNMF
+    def run_lnmf(self, split_by: str, reduction_use: str = "nmf",
+                 reduction_name: str = "lnmf", reduction_key: str = "LNMF_",
+                 link_cutoff: float = 0.5, tol: float = 1e-5,
+                 maxit: int = 100, L1: float = 0.01, L2: float = 0.0,
+                 verbose: bool = True) -> "Experiment":
+        """Linked NMF initialized from an existing reduction
+        (reference:R/RunLNMF.R:98-190)."""
+        if reduction_use not in self.reductions:
+            raise ValueError(f"no reduction {reduction_use!r}; run run_nmf first")
+        base = self.reductions[reduction_use]
+        A = self._assay()
+        codes = self._split_codes(split_by)
+        A = weight_by_split(A, codes)
+        link_h, unlink, levels = build_link_matrix(base.embeddings, codes,
+                                                   link_cutoff)
+        model = run_linked_nmf(A, base.w, link_h=link_h, tol=tol, maxit=maxit,
+                               verbose=verbose, L1=L1, L2=L2,
+                               gene_names=base.gene_names,
+                               cell_names=self.cell_names)
+        model.reduction_key = reduction_key
+        self.reductions[reduction_name] = model
+        return self
+
+    # --------------------------------------------------------- projection
+    def project_data(self, w, gene_names_w: Optional[Sequence[str]] = None,
+                     split_by: Optional[str] = None, L1: float = 0.01,
+                     L2: float = 0.0, reduction_name: str = "nmf_projection",
+                     reduction_key: str = "NNLS_",
+                     reorder: bool = False) -> "Experiment":
+        """NNLS projection onto an external factor model
+        (reference:R/ProjectData.R:37-110): genes are intersected by name."""
+        A = self._assay()
+        if isinstance(w, NMFModel):
+            gene_names_w = w.gene_names
+            w = w.w
+        w = np.asarray(w)
+        if split_by is not None:
+            A = weight_by_split(A, self._split_codes(split_by))
+        if gene_names_w is not None and self.gene_names is not None:
+            ours = {g: i for i, g in enumerate(self.gene_names)}
+            keep = [(ours[g], i) for i, g in enumerate(gene_names_w)
+                    if g in ours]
+            a_rows = [t[0] for t in keep]
+            w_rows = [t[1] for t in keep]
+            A = A[a_rows, :]
+            w = w[w_rows, :]
+            used_genes = [self.gene_names[i] for i in a_rows]
+        else:
+            used_genes = self.gene_names
+        h, d = project_model(A, w, L1=L1, L2=L2)
+        model = NMFModel(w=w, d=d, h=h, gene_names=used_genes,
+                         cell_names=self.cell_names,
+                         reduction_key=reduction_key)
+        if reorder:
+            model = model.sorted_by_d()
+        self.reductions[reduction_name] = model
+        return self
+
+    # ------------------------------------------------------------- graphs
+    def find_local_neighbors(self, coord_cols=("x", "y"),
+                             reduction: str = "nmf", k: int = 10,
+                             radius: float = 2.0, metric: str = "jaccard",
+                             similarity: bool = True, max_dist: float = 0.0,
+                             snn: Optional[float] = None,
+                             graph_name: str = "lknn") -> "Experiment":
+        """Local spatial kNN (+ optional SNN) graphs
+        (reference:R/FindLocalNeighbors.R:95-98)."""
+        from singlet_tpu.graphs.spatial import local_knn, snn_graph
+
+        cx = np.asarray(self.meta[coord_cols[0]], np.float32)
+        cy = np.asarray(self.meta[coord_cols[1]], np.float32)
+        model = self.reductions[reduction]
+        G = local_knn(model.h, cx, cy, k=k, radius=radius, metric=metric,
+                      similarity=similarity, max_dist=max_dist)
+        self.graphs[graph_name] = G
+        if snn is not None:
+            self.graphs[graph_name + "_snn"] = snn_graph(G, snn)
+        return self
+
+    # --------------------------------------------------------- downstream
+    def annotate_nmf(self, columns=None, reduction: str = "nmf", **kw
+                     ) -> "Experiment":
+        from singlet_tpu.annotate import annotate_nmf
+
+        annotate_nmf(self.reductions[reduction], self.meta, columns=columns,
+                     **kw)
+        return self
+
+    def run_gsea(self, gene_sets, reduction: str = "nmf", **kw) -> "Experiment":
+        from singlet_tpu.gsea import run_gsea
+
+        run_gsea(self.reductions[reduction], gene_sets, **kw)
+        return self
+
+    def metadata_summary(self, split_by: str, reduction: str = "nmf",
+                         reorder: bool = True):
+        from singlet_tpu.summary import metadata_summary
+
+        model = self.reductions[reduction]
+        return metadata_summary(model.h, self.meta[split_by], reorder=reorder,
+                                factor_names=model.factor_names)
+
+    def shared_factors(self, split_by: str, reduction: str = "lnmf"):
+        from singlet_tpu.summary import get_shared_factors
+
+        return get_shared_factors(self.reductions[reduction],
+                                  self.meta[split_by])
+
+    def unique_factors(self, split_by: str, reduction: str = "lnmf"):
+        from singlet_tpu.summary import get_unique_factors
+
+        return get_unique_factors(self.reductions[reduction],
+                                  self.meta[split_by])
+
+    # ------------------------------------------------------------ helpers
+    def _split_codes(self, split_by: str) -> np.ndarray:
+        vals = np.asarray(self.meta[split_by])
+        if any(v is None or v != v for v in vals.tolist()):
+            raise ValueError("'split_by' cannot contain NA values")
+        _, codes = np.unique(vals.astype(str), return_inverse=True)
+        return codes
+
+    def _feature_indices(self, features) -> list:
+        if all(isinstance(f, (int, np.integer)) for f in features):
+            return list(features)
+        index = {g: i for i, g in enumerate(self.gene_names or [])}
+        return [index[f] for f in features if f in index]

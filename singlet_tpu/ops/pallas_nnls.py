@@ -1,0 +1,218 @@
+"""Fused Pallas TPU kernel for batched coordinate-descent NNLS.
+
+The XLA implementation in ops/nnls.py lowers each coordinate update to a
+handful of separate VPU ops over HBM-resident (n, k) arrays; with up to
+100 sweeps x k coordinates the op-dispatch latency dominates the entire ALS
+iteration. This kernel keeps a block of columns fully VMEM-resident and runs
+the whole Gauss-Seidel sweep loop inside one program:
+
+  * layout is transposed to (k, bn): a coordinate update touches one sublane
+    row (1, bn) plus a rank-1 (k, bn) residual downdate — no lane-strided
+    access;
+  * the sweep loop is a fori_loop with a per-block convergence flag in SMEM
+    (predicated body, so converged blocks pay ~nothing for remaining sweeps);
+  * per-column convergence/activity masks reproduce ops/nnls.py (and thus
+    reference:src/singlet.cpp:229-250) semantics exactly.
+
+Grid: one program per column block; different blocks converge independently —
+finer-grained early exit than the XLA path's global while_loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from singlet_tpu.ops.nnls import CD_MAX_SWEEPS, CD_TOL
+
+
+def _nnls_kernel(scalars_ref, a_ref, Bt_ref, X0t_ref, mask_ref, Xout_ref,
+                 Bres_ref, tol_ref, active_ref, flag_ref, *, k: int,
+                 max_sweeps: int):
+    """One column block. Shapes: a (k,k); Bt/X0t/Xout (k, bn); mask (1, bn)."""
+    L1 = scalars_ref[0]
+    L2 = scalars_ref[1]
+
+    Xout_ref[:, :] = X0t_ref[:, :]
+    Bres_ref[:, :] = Bt_ref[:, :]       # private residual copy
+    active_ref[:, :] = mask_ref[:, :]
+    flag_ref[0] = jnp.int32(1)  # block has active columns
+
+    def sweep(_, carry):
+        @pl.when(flag_ref[0] > 0)
+        def _():
+            tol_ref[:, :] = jnp.zeros_like(tol_ref)
+            for i in range(k):  # static unroll: sequential Gauss-Seidel
+                active = active_ref[0, :] > 0
+                x_i = Xout_ref[i, :]
+                a_ii = a_ref[i, i]
+                diff = Bres_ref[i, :] / a_ii - L1 + L2 * x_i
+                clamp = -diff > x_i
+                # select-on-bool is unsupported by Mosaic; use logical ops
+                moved = ((clamp & (x_i != 0)) | (~clamp & (diff != 0))) & active
+                delta = jnp.where(moved, jnp.where(clamp, -x_i, diff), 0.0)
+                x_new = x_i + delta
+                # rank-1 residual downdate: (k, bn) -= a[:, i] (x) delta
+                Bres_ref[:, :] = Bres_ref[:, :] - a_ref[:, i][:, None] * delta[None, :]
+                Xout_ref[i, :] = x_new
+                contrib = jnp.abs(delta / (x_new + 1e-15))
+                tol_ref[0, :] = jnp.where(
+                    moved & clamp,
+                    jnp.ones_like(tol_ref[0, :]),
+                    tol_ref[0, :] + jnp.where(moved & ~clamp, contrib, 0.0),
+                )
+            still = (active_ref[0, :] > 0) & (tol_ref[0, :] / k > CD_TOL)
+            active_ref[0, :] = still.astype(jnp.float32)
+            flag_ref[0] = jnp.any(still).astype(jnp.int32)
+
+        return carry
+
+    jax.lax.fori_loop(0, max_sweeps, sweep, 0)
+
+
+def _nnls_kernel_batched(scalars_ref, at_ref, Bt_ref, X0t_ref, mask_ref,
+                         Xout_ref, Bres_ref, tol_ref, active_ref, flag_ref,
+                         *, k: int, max_sweeps: int):
+    """Per-column Grams (masked-CV path). at: (k, k, bn) with at[:, i, c] =
+    column i of cell c's Gram; everything else as in _nnls_kernel."""
+    L1 = scalars_ref[0]
+    L2 = scalars_ref[1]
+
+    Xout_ref[:, :] = X0t_ref[:, :]
+    Bres_ref[:, :] = Bt_ref[:, :]
+    active_ref[:, :] = mask_ref[:, :]
+    flag_ref[0] = jnp.int32(1)
+
+    def sweep(_, carry):
+        @pl.when(flag_ref[0] > 0)
+        def _():
+            tol_ref[:, :] = jnp.zeros_like(tol_ref)
+            for i in range(k):
+                active = active_ref[0, :] > 0
+                x_i = Xout_ref[i, :]
+                a_ii = at_ref[i, i, :]                  # (bn,)
+                a_col = at_ref[:, i, :]                 # (k, bn)
+                diff = Bres_ref[i, :] / a_ii - L1 + L2 * x_i
+                clamp = -diff > x_i
+                moved = ((clamp & (x_i != 0)) | (~clamp & (diff != 0))) & active
+                delta = jnp.where(moved, jnp.where(clamp, -x_i, diff), 0.0)
+                x_new = x_i + delta
+                Bres_ref[:, :] = Bres_ref[:, :] - a_col * delta[None, :]
+                Xout_ref[i, :] = x_new
+                contrib = jnp.abs(delta / (x_new + 1e-15))
+                tol_ref[0, :] = jnp.where(
+                    moved & clamp,
+                    jnp.ones_like(tol_ref[0, :]),
+                    tol_ref[0, :] + jnp.where(moved & ~clamp, contrib, 0.0),
+                )
+            still = (active_ref[0, :] > 0) & (tol_ref[0, :] / k > CD_TOL)
+            active_ref[0, :] = still.astype(jnp.float32)
+            flag_ref[0] = jnp.any(still).astype(jnp.int32)
+
+        return carry
+
+    jax.lax.fori_loop(0, max_sweeps, sweep, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_sweeps", "block", "interpret"))
+def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
+                                max_sweeps: int = CD_MAX_SWEEPS,
+                                block: int = 256, interpret: bool = False):
+    """Pallas CD-NNLS with a per-column Gram batch a: (n, k, k)."""
+    n, k = B.shape
+    assert a.ndim == 3 and a.shape == (n, k, k)
+    assert n % block == 0, (n, block)
+    dtype = B.dtype
+
+    at = jnp.transpose(a, (1, 2, 0))   # (k, k, n)
+    Bt = B.T
+    X0t = X0.astype(dtype).T
+    if update_mask is None:
+        mask = jnp.ones((1, n), dtype)
+    else:
+        mask = update_mask.astype(dtype)[None, :]
+    scalars = jnp.asarray([L1, L2], dtype)
+
+    grid = (n // block,)
+    out = pl.pallas_call(
+        functools.partial(_nnls_kernel_batched, k=k, max_sweeps=max_sweeps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, k, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, block), dtype),
+            pltpu.VMEM((1, block), dtype),
+            pltpu.VMEM((1, block), dtype),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, at, Bt, X0t, mask)
+    return out.T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_sweeps", "block", "interpret"))
+def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
+                      max_sweeps: int = CD_MAX_SWEEPS, block: int = 1024,
+                      interpret: bool = False):
+    """Pallas-fused equivalent of ops.nnls.nnls_batch for a shared (k,k) Gram.
+
+    a: (k, k); B, X0: (n, k) with n a multiple of `block`. Returns X (n, k).
+    """
+    n, k = B.shape
+    assert a.ndim == 2, "pallas path requires a shared Gram"
+    assert n % block == 0, (n, block)
+    dtype = B.dtype
+
+    Bt = B.T                      # (k, n) — fused into the kernel's prologue
+    X0t = X0.astype(dtype).T
+    if update_mask is None:
+        mask = jnp.ones((1, n), dtype)
+    else:
+        mask = update_mask.astype(dtype)[None, :]
+    scalars = jnp.asarray([L1, L2], dtype)
+
+    grid = (n // block,)
+    out = pl.pallas_call(
+        functools.partial(_nnls_kernel, k=k, max_sweeps=max_sweeps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # scalars
+            pl.BlockSpec((k, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                  # a
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                  # Bt
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                  # X0t
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                  # mask
+        ],
+        out_specs=pl.BlockSpec((k, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, block), dtype),      # residual copy of Bt
+            pltpu.VMEM((1, block), dtype),      # tol accumulator
+            pltpu.VMEM((1, block), dtype),      # active mask
+            pltpu.SMEM((1,), jnp.int32),        # block-active flag
+        ],
+        interpret=interpret,
+    )(scalars, a, Bt, X0t, mask)
+    return out.T

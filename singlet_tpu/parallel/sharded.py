@@ -45,7 +45,7 @@ from singlet_tpu.ops.linalg import (
     triu_pairs,
     unpack_sym,
 )
-from singlet_tpu.ops.nnls import nnls_batch
+from singlet_tpu.ops.nnls import solve_nnls
 from singlet_tpu.ops.rngmask import mask_block, seed_pair
 
 AXIS = "cells"
@@ -131,7 +131,7 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
         # h-update: fully local (W replicated, so its Gram is too)
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         B_h = jnp.dot(A_loc.T, W, precision=MM_PRECISION)
-        H_loc = nnls_batch(a_w, B_h, H_loc, L1=L1_h, L2=L2_h,
+        H_loc = solve_nnls(a_w, B_h, H_loc, L1=L1_h, L2=L2_h,
                            update_mask=ne_loc)
         d = jax.lax.psum(jnp.sum(H_loc, axis=0), AXIS) + 1e-15
         H_loc = H_loc / d[None, :]
@@ -141,7 +141,7 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             jnp.dot(A_loc, H_loc, precision=MM_PRECISION), AXIS)
         gene_ne = jnp.any(A_loc != 0, axis=1)
         gene_ne = jax.lax.psum(gene_ne.astype(jnp.int32), AXIS) > 0
-        W_new = nnls_batch(a_h, B_w, W, L1=L1_w, L2=L2_w,
+        W_new = solve_nnls(a_h, B_w, W, L1=L1_w, L2=L2_w,
                            update_mask=gene_ne)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
@@ -173,7 +173,7 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             a_blk = a_full[None] - unpack_sym(packed, k, iu)
             Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
-            return None, nnls_batch(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
 
         _, Hs = jax.lax.scan(h_blk, None, jnp.arange(cells_local // cell_block))
         H_new = Hs.reshape(cells_local, k)
@@ -200,7 +200,7 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             a_blk = a_h[None] - unpack_sym(packed, k, iu)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            return None, nnls_batch(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
 
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         W_new = Ws.reshape(genes_pad, k)

@@ -41,7 +41,7 @@ from singlet_tpu.ops.linalg import (
     triu_pairs,
     unpack_sym,
 )
-from singlet_tpu.ops.nnls import nnls_batch
+from singlet_tpu.ops.nnls import solve_nnls
 from singlet_tpu.ops.rngmask import seed_pair
 from singlet_tpu.sparse.matrix import DenseMatrix
 
@@ -102,7 +102,7 @@ def _half_update(P: DenseMatrix, X, Y_warm, L1, L2, link=None):
     B = P.t_matmul(X)
     if link is not None:
         B = B * link
-    return nnls_batch(a, B, Y_warm, L1=L1, L2=L2, update_mask=P.nonempty)
+    return solve_nnls(a, B, Y_warm, L1=L1, L2=L2, update_mask=P.nonempty)
 
 
 def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
@@ -126,7 +126,7 @@ def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
         a_blk = a_full[None, :, :] - unpack_sym(packed, k, iu)
         Y0 = jax.lax.dynamic_slice_in_dim(Y_warm, col_start, block, axis=0)
         ne = jax.lax.dynamic_slice_in_dim(P.nonempty, col_start, block, axis=0)
-        Y = nnls_batch(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+        Y = solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
         return None, Y
 
     _, Ys = jax.lax.scan(body, None, jnp.arange(n_blocks))

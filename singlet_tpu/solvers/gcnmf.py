@@ -1,0 +1,124 @@
+"""Graph-convolutional NMF.
+
+Equivalent of ``c_gcnmf`` (reference:src/singlet.cpp:1668-1730): the h-update
+right-hand sides are convolved over a (cells x cells) graph G before the NNLS
+solve (``b'_i = sum_j G(j,i) b_j``), and the w-update gathers graph-smoothed
+embeddings (``b_gene = sum_c A(gene,c) * (G[:,c] . H)``) — on TPU both are
+plain matmuls: B_h' = G^T B_h and B_w = A (G^T H^T)^T.
+
+Also the edge-cluster utilities ``c_differentiate_model``
+(reference:src/singlet.cpp:1733-1752) and ``c_assign_cells_to_edge_clusters``
+(:1755-1768).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from singlet_tpu.model import NMFModel
+from singlet_tpu.ops.linalg import MM_PRECISION, cor_distance, gram, scale_columns
+from singlet_tpu.ops.nnls import solve_nnls
+from singlet_tpu.solvers.drivers import _coerce_dense, _finalize
+from singlet_tpu.utils import enable_compilation_cache
+
+
+@jax.jit
+def _gcnmf_step(A, G, W, H, L1, L2):
+    """A: (genes, cells); G: dense (cells, cells); W: (genes,k); H: (cells,k)."""
+    # h-update with graph convolution of the RHS
+    a_w = gram(W)
+    B = jnp.dot(A.T, W, precision=MM_PRECISION)            # (cells, k)
+    B = jnp.dot(G.T, B, precision=MM_PRECISION)            # convolve
+    nonempty = jnp.any(A != 0, axis=0)
+    H = solve_nnls(a_w, B, H, L1=L1, L2=L2, update_mask=nonempty)
+    H, d = scale_columns(H)
+    # w-update over graph-smoothed embeddings
+    a_h = gram(H)
+    GH = jnp.dot(G.T, H, precision=MM_PRECISION)           # (cells, k)
+    B_w = jnp.dot(A, GH, precision=MM_PRECISION)           # (genes, k)
+    W_new = solve_nnls(a_h, B_w, W, L1=L1, L2=L2)
+    W_new, d = scale_columns(W_new)
+    tol = cor_distance(W_new, W)
+    return W_new, H, d, tol
+
+
+def gcnmf(A, G, k: int, tol: float = 1e-4, maxit: int = 100,
+          L1: float = 0.01, L2: float = 0.0, seed: int = 0,
+          w_init=None, verbose: bool = False,
+          gene_names=None, cell_names=None) -> NMFModel:
+    """Fit graph-convolutional NMF. G is a (cells x cells) graph (sparse or
+    dense; densified on device — suitable up to ~50k cells on one chip)."""
+    enable_compilation_cache()
+    A = _coerce_dense(A)
+    Gd = np.asarray(G.todense(), np.float32) if sp.issparse(G) else \
+        np.asarray(G, np.float32)
+    if Gd.shape != (A.shape[1], A.shape[1]):
+        raise ValueError("G must be cells x cells")
+    genes, cells = A.shape
+    if w_init is None:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
+        W = jax.random.uniform(key, (genes, k), dtype=jnp.float32)
+    else:
+        W = jnp.asarray(w_init, jnp.float32)
+        if W.shape == (k, genes):
+            W = W.T
+    Aj = jnp.asarray(A)
+    Gj = jnp.asarray(Gd)
+    H = jnp.zeros((cells, k), jnp.float32)
+    tol_ = 1.0
+    it = 0
+    while it < maxit and tol_ > tol:
+        W, H, d, tol_j = _gcnmf_step(Aj, Gj, W, H, jnp.float32(L1),
+                                     jnp.float32(L2))
+        tol_ = float(tol_j)
+        if verbose:
+            print(f"{it + 1:4d} | {tol_:8.2e}")
+        it += 1
+    return _finalize(np.asarray(W), np.asarray(d), np.asarray(H).T,
+                     gene_names, cell_names)
+
+
+def differentiate_model(h: np.ndarray, G: sp.spmatrix) -> np.ndarray:
+    """Signed per-edge differences of h across graph edges
+    (reference:src/singlet.cpp:1733-1752): for each edge (col1 -> row) emit a
+    2k-vector with positive diffs in the first k rows and negative diffs in
+    the second k."""
+    h = np.asarray(h)
+    if h.shape[0] == G.shape[1] and h.shape[0] != h.shape[1]:
+        h = h.T
+    if h.shape[1] != G.shape[1]:
+        raise ValueError("dimensions of 'h' and 'G' are not compatible")
+    G = sp.csc_matrix(G)
+    k = h.shape[0]
+    n_edges = G.nnz
+    out = np.zeros((2 * k, n_edges))
+    pos = 0
+    for col in range(G.shape[1]):
+        for p in range(G.indptr[col], G.indptr[col + 1]):
+            row = G.indices[p]
+            diff = h[:, col] - h[:, row]
+            up = diff > 0
+            out[:k, pos][up] = diff[up]
+            out[k:, pos][~up] = -diff[~up]
+            pos += 1
+    return out
+
+
+def assign_cells_to_edge_clusters(G: sp.spmatrix,
+                                  edge_clusters: np.ndarray) -> np.ndarray:
+    """Count, per cell, how many incident edges fall in each edge cluster
+    (reference:src/singlet.cpp:1755-1768). edge_clusters: 0-based labels per
+    edge in CSC order."""
+    G = sp.csc_matrix(G)
+    edge_clusters = np.asarray(edge_clusters)
+    n_clusters = int(edge_clusters.max()) + 1
+    out = np.zeros((n_clusters, G.shape[1]), np.int64)
+    pos = 0
+    for col in range(G.shape[1]):
+        for _ in range(G.indptr[col], G.indptr[col + 1]):
+            out[edge_clusters[pos], col] += 1
+            pos += 1
+    return out

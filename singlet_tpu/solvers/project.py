@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from singlet_tpu.ops.linalg import MM_PRECISION, gram, scale_columns
-from singlet_tpu.ops.nnls import nnls_batch
+from singlet_tpu.ops.nnls import solve_nnls
 from singlet_tpu.solvers.drivers import _coerce_dense
 from singlet_tpu.utils import enable_compilation_cache
 
@@ -22,7 +22,7 @@ def _project(A, W, L1, L2):
     W, _ = scale_columns(W)
     B = jnp.dot(A.T, W, precision=MM_PRECISION)
     nonempty = jnp.any(A != 0, axis=0)
-    H = nnls_batch(gram(W), B, jnp.zeros_like(B), L1=L1, L2=L2,
+    H = solve_nnls(gram(W), B, jnp.zeros_like(B), L1=L1, L2=L2,
                    update_mask=nonempty)
     return scale_columns(H)
 
