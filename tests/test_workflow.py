@@ -1,0 +1,215 @@
+"""End-to-end workflow tests: Experiment API, pbmc3k subset, pipeline CLI,
+summaries, plots, and the extra solvers (MU, GCNMF, batch-L1)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from singlet_tpu.data import load_pbmc3k
+from singlet_tpu.experiment import Experiment
+from singlet_tpu.summary import get_shared_factors, get_unique_factors, metadata_summary
+
+
+@pytest.fixture(scope="module")
+def pbmc_small():
+    ds = load_pbmc3k()
+    # top 400 most-expressed genes x 300 cells keeps CPU tests quick
+    counts = ds.counts
+    gene_totals = np.asarray(counts.sum(axis=1)).ravel()
+    top = np.argsort(-gene_totals)[:400]
+    top.sort()
+    sub = counts[top, :][:, :300]
+    exp = Experiment(
+        counts=sub,
+        gene_names=[ds.gene_names[i] for i in top],
+        cell_names=ds.cell_names[:300],
+        meta={"cell_type": ds.meta["cell_type"][:300]},
+    )
+    return exp
+
+
+def test_pbmc3k_workflow_fixed_rank(pbmc_small):
+    exp = pbmc_small
+    exp.run_nmf(k=6, tol=1e-4, maxit=30, verbose=0, seed=1)
+    model = exp.reductions["nmf"]
+    assert model.k == 6
+    assert model.w.shape == (400, 6)
+    assert model.h.shape == (6, 300)
+    assert model.gene_names is not None and len(model.gene_names) == 400
+    # auto-preprocessing happened (data no longer raw counts)
+    from singlet_tpu.preprocess import looks_like_counts
+    assert not looks_like_counts(exp.data)
+
+    # annotation against cell_type finds at least one strong association
+    exp.annotate_nmf(columns=["cell_type"])
+    ann = model.misc["annotations"]["cell_type"]
+    assert (ann["p"] < 0.05).any()
+
+    # metadata summary columns normalized
+    summ = exp.metadata_summary("cell_type")
+    np.testing.assert_allclose(summ.sum(axis=0).to_numpy(), 1.0, rtol=1e-6)
+
+
+def test_pbmc3k_cv_workflow(pbmc_small):
+    exp = pbmc_small
+    exp.run_nmf(k=[3, 5, 7], reps=1, tol=1e-3, maxit=12, verbose=0, seed=2,
+                reduction_name="nmf_cv")
+    model = exp.reductions["nmf_cv"]
+    assert model.cv_data is not None
+    assert set(model.cv_data["k"].unique()) == {3, 5, 7}
+    assert 3 <= model.k <= 7
+
+
+def test_lnmf_and_factor_split(pbmc_small, rng):
+    exp = pbmc_small
+    if "nmf" not in exp.reductions:
+        exp.run_nmf(k=6, tol=1e-4, maxit=30, verbose=0, seed=1)
+    groups = np.array(["g1"] * 150 + ["g2"] * 150)
+    exp.meta["fake_batch"] = groups
+    exp.run_lnmf("fake_batch", link_cutoff=0.99, maxit=10, verbose=False)
+    model = exp.reductions["lnmf"]
+    assert model.k == 6
+    uniq = get_unique_factors(model, groups)
+    shared = get_shared_factors(model, groups)
+    assert sorted(uniq + shared) == list(range(6))
+
+
+def test_projection_workflow(pbmc_small):
+    exp = pbmc_small
+    if "nmf" not in exp.reductions:
+        exp.run_nmf(k=6, tol=1e-4, maxit=30, verbose=0, seed=1)
+    model = exp.reductions["nmf"]
+    # project the same data onto the model; embeddings should correlate with
+    # the fit embeddings factor-by-factor
+    exp.project_data(model, L1=0.0)
+    proj = exp.reductions["nmf_projection"]
+    assert proj.h.shape == model.h.shape
+    for f in range(model.k):
+        c = np.corrcoef(proj.h[f], model.h[f])[0, 1]
+        assert c > 0.5, (f, c)
+
+
+def test_pipeline_cli(tmp_path, monkeypatch, pbmc_small):
+    """Drive the CLI main() on a small h5ad written via h5py."""
+    import h5py
+
+    from singlet_tpu.pipeline import main
+
+    dense = np.asarray(pbmc_small.counts.todense(), np.float32)
+    path = tmp_path / "toy.h5ad"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("X", data=dense.T)  # cells x genes
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.create_dataset("_index",
+                           data=np.array(pbmc_small.cell_names, dtype="S"))
+        var = f.create_group("var")
+        var.attrs["_index"] = "_index"
+        var.create_dataset("_index",
+                           data=np.array(pbmc_small.gene_names, dtype="S"))
+    monkeypatch.chdir(tmp_path)
+    rc = main([str(path), "--k", "4", "--maxit", "10", "-v", "0",
+               "-o", "outmodel"])
+    assert rc == 0
+    from singlet_tpu.model import NMFModel
+    model = NMFModel.load(str(tmp_path / "outmodel"))
+    assert model.k == 4
+    assert (tmp_path / "outmodel.summary.json").exists()
+
+
+def test_mu_nmf(rng):
+    W = rng.random((40, 3)).astype(np.float32)
+    H = rng.random((3, 30)).astype(np.float32)
+    A = W @ H
+    from singlet_tpu.solvers.mu import mu_nmf
+    out = mu_nmf(A, 3, maxit=200, tol=1e-6, seed=1)
+    recon = out["w"] @ out["h"]
+    rel = np.linalg.norm(recon - A) / np.linalg.norm(A)
+    assert rel < 0.05, rel
+
+
+def test_gcnmf_runs_and_smooths(rng):
+    from singlet_tpu.solvers.gcnmf import gcnmf
+
+    W = rng.random((30, 3)).astype(np.float32)
+    H = rng.random((3, 24)).astype(np.float32)
+    A = (W @ H).astype(np.float32)
+    G = sp.identity(24, format="csc")
+    model = gcnmf(A, G, 3, maxit=30, verbose=False)
+    # identity graph == plain NMF; reconstruction should be decent
+    recon = (model.w * model.d[None]) @ model.h
+    rel = np.linalg.norm(recon - A) / np.linalg.norm(A)
+    assert rel < 0.2, rel
+
+
+def test_gcnmf_edge_utilities(rng):
+    from singlet_tpu.solvers.gcnmf import (
+        assign_cells_to_edge_clusters,
+        differentiate_model,
+    )
+
+    h = rng.random((3, 6))
+    G = sp.csc_matrix(np.array([
+        [0, 1, 0, 0, 0, 0],
+        [1, 0, 0, 0, 0, 0],
+        [0, 0, 0, 1, 0, 0],
+        [0, 0, 1, 0, 0, 0],
+        [0, 0, 0, 0, 0, 1],
+        [0, 0, 0, 0, 1, 0],
+    ], dtype=float))
+    diffs = differentiate_model(h, G)
+    assert diffs.shape == (6, G.nnz)
+    # positive and negative parts are disjoint
+    assert not ((diffs[:3] > 0) & (diffs[3:] > 0)).any()
+    clusters = np.zeros(G.nnz, dtype=int)
+    clusters[0] = 1
+    counts = assign_cells_to_edge_clusters(G, clusters)
+    assert counts.shape == (2, 6)
+    assert counts.sum() == G.nnz
+
+
+def test_batch_l1_nmf(rng):
+    from singlet_tpu.solvers.batch import calc_l1_matrix, nmf_batch
+
+    h = np.zeros((2, 8))
+    h[0, :4] = 2.0   # factor 0 specific to batch 0
+    h[1] = 1.0       # factor 1 shared
+    batches = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    L1m = calc_l1_matrix(h, batches)
+    assert L1m[0, 0] > 0 and L1m[0, 1] < 0   # batch-specific factor penalized
+    np.testing.assert_allclose(L1m[1], 0.0, atol=1e-12)
+
+    W = rng.random((30, 3)).astype(np.float32)
+    H = rng.random((3, 20)).astype(np.float32)
+    A = (W @ H).astype(np.float32)
+    model = nmf_batch(A, 3, np.array([0] * 10 + [1] * 10), maxit=10,
+                      verbose=False)
+    assert model.w.shape == (30, 3)
+    assert np.isfinite(model.h).all()
+
+
+def test_plots_render(pbmc_small, tmp_path):
+    import matplotlib.pyplot as plt
+
+    from singlet_tpu import plots
+
+    exp = pbmc_small
+    if "nmf_cv" not in exp.reductions:
+        exp.run_nmf(k=[3, 5, 7], reps=1, tol=1e-3, maxit=12, verbose=0,
+                    seed=2, reduction_name="nmf_cv")
+    model = exp.reductions["nmf_cv"]
+    fig = plots.rank_plot(model.cv_data, detail=1)
+    fig.savefig(tmp_path / "rank1.png")
+    fig = plots.rank_plot(model.cv_data, detail=2, min_iter=0)
+    fig.savefig(tmp_path / "rank2.png")
+    summ = metadata_summary(model.h, exp.meta["cell_type"],
+                            factor_names=model.factor_names)
+    plots.metadata_plot(summ).savefig(tmp_path / "meta.png")
+    plots.metadata_heatmap(summ).savefig(tmp_path / "metah.png")
+    if "nmf" in exp.reductions and "annotations" in exp.reductions["nmf"].misc:
+        ann = exp.reductions["nmf"].misc["annotations"]["cell_type"]
+        if (ann["p"] < 0.5).any():
+            plots.annotation_plot(ann, max_p=0.5).savefig(tmp_path / "ann.png")
+    plots.plot_factor_weights(model, 0).savefig(tmp_path / "fw.png")
+    plt.close("all")
+    assert (tmp_path / "rank1.png").stat().st_size > 0
