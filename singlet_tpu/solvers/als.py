@@ -112,7 +112,7 @@ def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
     a_full = gram(X)
     iu = triu_pairs(k)
     P_pairs = packed_outer_products(X, iu)          # (rows_pad, npairs)
-    cols_pad = P.data.shape[1]
+    cols_pad = P.cols_pad
     assert cols_pad % block == 0, (cols_pad, block)
     n_blocks = cols_pad // block
 
@@ -140,7 +140,7 @@ def mse_test(A: DenseMatrix, W, d, H, seed, inv_density: int, block: int):
     mean over cells of (sum over masked genes of (w d h - A)^2 / n_masked).
     """
     Wd = W * d[None, :]
-    cols_pad = A.data.shape[1]
+    cols_pad = A.cols_pad
     n_blocks = cols_pad // block
 
     def body(acc, bi):
@@ -243,14 +243,13 @@ def nmf_fit(
     penalties. ``link_h``/``link_w`` are 0/1 linking masks of shape
     (cells, k) / (genes, k) for linked NMF (reference:src/singlet.cpp:1059-1086).
     """
-    if isinstance(A, DenseMatrix):
-        assert At is not None, "pass both providers or a raw array"
-        Ap, Atp = A, At
+    if At is not None:
+        Ap, Atp = A, At        # caller-built providers (dense or ELL)
     else:
         Ap, Atp = make_dense_providers(np.asarray(A))
 
-    genes_pad = Ap.data.shape[0]
-    cells_pad = Ap.data.shape[1]
+    genes_pad = Ap.rows_pad
+    cells_pad = Ap.cols_pad
     if w_init is None:
         W = init_w(k, genes_pad, Ap.rows_true, seed)
     else:

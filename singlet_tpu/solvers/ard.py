@@ -60,13 +60,12 @@ def ard_nmf_fit(
     vectors feed the ``cross_validate_nmf_data`` frame
     (reference:R/ard_nmf.R:118).
     """
-    if isinstance(A, DenseMatrix):
-        assert At is not None
-        Ap, Atp = A, At
+    if At is not None:
+        Ap, Atp = A, At        # caller-built providers (dense or ELL)
     else:
         Ap, Atp = make_dense_providers(np.asarray(A))
 
-    genes_pad, cells_pad = Ap.data.shape
+    genes_pad, cells_pad = Ap.rows_pad, Ap.cols_pad
     cell_block = Ap.block
     gene_block = Atp.block
 

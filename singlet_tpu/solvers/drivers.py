@@ -42,9 +42,21 @@ def _coerce_dense(A) -> np.ndarray:
     return np.asarray(A, dtype=np.float32)
 
 
-def _providers(A) -> Tuple[DenseMatrix, DenseMatrix]:
-    if isinstance(A, tuple) and isinstance(A[0], DenseMatrix):
+def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMatrix]:
+    """Build (A, At) providers. scipy-sparse inputs above `sparse_threshold`
+    dense entries stay in ELL storage (sparse storage, dense compute tiles);
+    everything smaller is densified outright — fastest on the MXU."""
+    if isinstance(A, tuple) and hasattr(A[0], "t_matmul"):
         return A
+    try:
+        import scipy.sparse as sp
+
+        if sp.issparse(A) and A.shape[0] * A.shape[1] > sparse_threshold:
+            from singlet_tpu.sparse.ell import EllMatrix
+
+            return EllMatrix.pair_from_csc(A)
+    except ImportError:
+        pass
     return make_dense_providers(_coerce_dense(A))
 
 

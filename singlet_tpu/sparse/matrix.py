@@ -91,6 +91,14 @@ class DenseMatrix:
         return self.data.shape
 
     @property
+    def rows_pad(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def cols_pad(self) -> int:
+        return self.data.shape[1]
+
+    @property
     def n_cells(self) -> int:
         return self.cols_true if self.cols_are_cells else self.rows_true
 
