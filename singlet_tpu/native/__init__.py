@@ -1,0 +1,202 @@
+"""ctypes bindings for the native IO/runtime library (libsinglet_io.so).
+
+Build with ``make -C singlet_tpu/native``. Every entry point has a pure-
+Python/scipy fallback so the package works without the native build; the
+native paths are the fast lane for ingest and out-of-core staging (the role
+the reference's C++ header library plays, SURVEY.md L0).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+_HERE = Path(__file__).parent
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _HERE / "libsinglet_io.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(_HERE), "libsinglet_io.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not so.exists():
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.singlet_last_error.restype = ctypes.c_char_p
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class _MtxResult(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_int64),
+        ("cols", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("coo_row", ctypes.POINTER(ctypes.c_int32)),
+        ("coo_col", ctypes.POINTER(ctypes.c_int32)),
+        ("coo_val", ctypes.POINTER(ctypes.c_float)),
+    ]
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def read_mtx(path: str) -> sp.csc_matrix:
+    """Fast MatrixMarket reader (plain or .gz). Falls back to scipy.io."""
+    lib = _load()
+    if lib is None:
+        import scipy.io
+        return scipy.io.mmread(path).tocsc().astype(np.float32)
+    res = _MtxResult()
+    rc = lib.singlet_mtx_read(path.encode(), ctypes.byref(res))
+    if rc != 0:
+        raise IOError(lib.singlet_last_error().decode())
+    n = res.nnz
+    try:
+        row = np.ctypeslib.as_array(res.coo_row, (n,)).copy()
+        col = np.ctypeslib.as_array(res.coo_col, (n,)).copy()
+        val = np.ctypeslib.as_array(res.coo_val, (n,)).copy()
+    finally:
+        lib.singlet_free(res.coo_row)
+        lib.singlet_free(res.coo_col)
+        lib.singlet_free(res.coo_val)
+    indptr = np.zeros(res.cols + 1, np.int64)
+    indices = np.zeros(n, np.int32)
+    data = np.zeros(n, np.float32)
+    lib.singlet_coo_to_csc(res.rows, res.cols, n,
+                           _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+                           _ptr(val, ctypes.c_float), _ptr(indptr, ctypes.c_int64),
+                           _ptr(indices, ctypes.c_int32), _ptr(data, ctypes.c_float))
+    return sp.csc_matrix((data, indices, indptr), shape=(res.rows, res.cols))
+
+
+def csc_transpose(A: sp.csc_matrix) -> sp.csc_matrix:
+    """O(nnz) transpose returning CSC of A.T. Fallback: scipy."""
+    lib = _load()
+    if lib is None:
+        return A.T.tocsc()
+    A = sp.csc_matrix(A)
+    rows, cols = A.shape
+    nnz = A.nnz
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int32)
+    data = A.data.astype(np.float32)
+    t_indptr = np.zeros(rows + 1, np.int64)
+    t_indices = np.zeros(nnz, np.int32)
+    t_data = np.zeros(nnz, np.float32)
+    lib.singlet_csc_transpose(rows, cols, _ptr(indptr, ctypes.c_int64),
+                              _ptr(indices, ctypes.c_int32),
+                              _ptr(data, ctypes.c_float),
+                              _ptr(t_indptr, ctypes.c_int64),
+                              _ptr(t_indices, ctypes.c_int32),
+                              _ptr(t_data, ctypes.c_float))
+    return sp.csc_matrix((t_data, t_indices, t_indptr), shape=(cols, rows))
+
+
+def csc_to_ell(A: sp.csc_matrix, cols_pad: int, max_nnz: int,
+               pad_row: int) -> Tuple[np.ndarray, np.ndarray]:
+    """CSC -> ELL planes (parallel). Fallback: python loop."""
+    lib = _load()
+    A = sp.csc_matrix(A)
+    cols = A.shape[1]
+    if lib is None:
+        idx = np.full((cols_pad, max_nnz), pad_row, np.int32)
+        val = np.zeros((cols_pad, max_nnz), np.float32)
+        for c in range(cols):
+            lo, hi = A.indptr[c], A.indptr[c + 1]
+            n = min(hi - lo, max_nnz)
+            idx[c, :n] = A.indices[lo:lo + n]
+            val[c, :n] = A.data[lo:lo + n]
+        return idx, val
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int32)
+    data = A.data.astype(np.float32)
+    idx = np.empty((cols_pad, max_nnz), np.int32)
+    val = np.empty((cols_pad, max_nnz), np.float32)
+    lib.singlet_csc_to_ell(cols, cols_pad, max_nnz, pad_row,
+                           _ptr(indptr, ctypes.c_int64),
+                           _ptr(indices, ctypes.c_int32),
+                           _ptr(data, ctypes.c_float),
+                           _ptr(idx, ctypes.c_int32), _ptr(val, ctypes.c_float))
+    return idx, val
+
+
+def log_normalize_inplace(A: sp.csc_matrix, scale_factor: float = 1e4
+                          ) -> sp.csc_matrix:
+    """Multithreaded LogNormalize on CSC data in place (fallback: preprocess)."""
+    lib = _load()
+    if lib is None:
+        from singlet_tpu.preprocess import log_normalize
+        return log_normalize(A, scale_factor)
+    A = sp.csc_matrix(A, copy=True)
+    A.data = A.data.astype(np.float32)
+    indptr = A.indptr.astype(np.int64)
+    lib.singlet_log_normalize(A.shape[1], _ptr(indptr, ctypes.c_int64),
+                              _ptr(A.data, ctypes.c_float),
+                              ctypes.c_double(scale_factor))
+    return A
+
+
+# ---------------------------------------------------------------------------
+# SVC1 compressed shards (out-of-core staging, IVCSC analogue)
+# ---------------------------------------------------------------------------
+
+def svc_write(path: str, A: sp.csc_matrix) -> None:
+    lib = _load()
+    A = sp.csc_matrix(A)
+    if lib is None:
+        np.savez_compressed(path, indptr=A.indptr, indices=A.indices,
+                            data=A.data, shape=A.shape)
+        return
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int32)
+    data = A.data.astype(np.float32)
+    rc = lib.singlet_svc_write(path.encode(), A.shape[0], A.shape[1],
+                               _ptr(indptr, ctypes.c_int64),
+                               _ptr(indices, ctypes.c_int32),
+                               _ptr(data, ctypes.c_float))
+    if rc != 0:
+        raise IOError(lib.singlet_last_error().decode())
+
+
+def svc_read(path: str) -> sp.csc_matrix:
+    lib = _load()
+    if lib is None:
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return sp.csc_matrix((z["data"], z["indices"], z["indptr"]),
+                             shape=tuple(z["shape"]))
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.singlet_svc_read_header(path.encode(), ctypes.byref(rows),
+                                     ctypes.byref(cols), ctypes.byref(nnz))
+    if rc != 0:
+        raise IOError(lib.singlet_last_error().decode())
+    indptr = np.zeros(cols.value + 1, np.int64)
+    indices = np.zeros(nnz.value, np.int32)
+    data = np.zeros(nnz.value, np.float32)
+    rc = lib.singlet_svc_read(path.encode(), _ptr(indptr, ctypes.c_int64),
+                              _ptr(indices, ctypes.c_int32),
+                              _ptr(data, ctypes.c_float))
+    if rc != 0:
+        raise IOError(lib.singlet_last_error().decode())
+    return sp.csc_matrix((data, indices, indptr),
+                         shape=(rows.value, cols.value))

@@ -1,0 +1,91 @@
+"""Native IO library tests (builds libsinglet_io.so on first run)."""
+
+import gzip
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from singlet_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native library unavailable (no g++?)")
+    return True
+
+
+def _random_csc(rng, rows=80, cols=50, density=0.1):
+    A = sp.random(rows, cols, density=density, random_state=3,
+                  dtype=np.float32, format="csc")
+    A.data = np.round(np.abs(A.data) * 10 + 1, 3).astype(np.float32)
+    return A
+
+
+def test_mtx_roundtrip(lib_ok, tmp_path, rng):
+    A = _random_csc(rng)
+    coo = A.tocoo()
+    lines = ["%%MatrixMarket matrix coordinate real general",
+             f"{A.shape[0]} {A.shape[1]} {A.nnz}"]
+    for r, c, v in zip(coo.row, coo.col, coo.data):
+        lines.append(f"{r + 1} {c + 1} {v}")
+    plain = tmp_path / "m.mtx"
+    plain.write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "m.mtx.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+
+    for path in (plain, gz):
+        B = native.read_mtx(str(path))
+        np.testing.assert_allclose(np.asarray(B.todense()),
+                                   np.asarray(A.todense()), rtol=1e-6)
+
+
+def test_csc_transpose(lib_ok, rng):
+    A = _random_csc(rng)
+    T = native.csc_transpose(A)
+    np.testing.assert_allclose(np.asarray(T.todense()),
+                               np.asarray(A.T.todense()))
+    # row indices sorted within each column
+    for c in range(T.shape[1]):
+        seg = T.indices[T.indptr[c]:T.indptr[c + 1]]
+        assert (np.diff(seg) > 0).all()
+
+
+def test_csc_to_ell(lib_ok, rng):
+    A = _random_csc(rng)
+    max_nnz = int(np.diff(A.indptr).max()) + 3
+    idx, val = native.csc_to_ell(A, cols_pad=64, max_nnz=max_nnz, pad_row=99)
+    assert idx.shape == (64, max_nnz)
+    dense = np.asarray(A.todense())
+    for c in range(A.shape[1]):
+        got = {(int(i), float(v)) for i, v in zip(idx[c], val[c]) if v != 0}
+        want = {(int(r), float(dense[r, c])) for r in np.nonzero(dense[:, c])[0]}
+        assert got == want
+    # padding columns
+    assert (idx[A.shape[1]:] == 99).all()
+    assert (val[A.shape[1]:] == 0).all()
+
+
+def test_log_normalize_native_matches_python(lib_ok, rng):
+    from singlet_tpu.preprocess import log_normalize
+
+    A = _random_csc(rng)
+    got = native.log_normalize_inplace(A, 1e4)
+    want = log_normalize(A, 1e4)
+    np.testing.assert_allclose(np.asarray(got.todense()),
+                               np.asarray(want.todense()), rtol=1e-5)
+
+
+def test_svc_roundtrip(lib_ok, tmp_path, rng):
+    A = _random_csc(rng, rows=300, cols=120, density=0.05)
+    path = str(tmp_path / "shard.svc")
+    native.svc_write(path, A)
+    B = native.svc_read(path)
+    assert B.shape == A.shape
+    np.testing.assert_allclose(np.asarray(B.todense()),
+                               np.asarray(A.todense()), rtol=1e-6)
+    # compression: smaller than raw CSC (int32+float32 per nz)
+    import os
+    raw = A.nnz * 8 + (A.shape[1] + 1) * 8
+    assert os.path.getsize(path) < raw
