@@ -1,0 +1,350 @@
+"""Multi-chip sharded ALS over ELL-packed sparse shards — the million-cell path.
+
+Combines the cell-mesh engine (parallel/sharded.py) with sparse storage
+(sparse/ell.py): each chip holds only its cells' nnz-padded index/value
+planes (~10-20x smaller than dense for scRNA), plus a per-shard transposed
+plane set for the w-update whose row ids are *local* cell indices. Compute
+tiles are densified per block on device, so the masked-CV math is identical
+to the dense engine's — and the counter-RNG masks are keyed by global ids,
+so models are independent of mesh size and storage layout (tested).
+
+Host-side shard construction uses the native C++ packer when available.
+This replaces the reference's single-node chunked "sparse list" mode and
+R-level distributed transpose (reference:src/singlet.cpp:384-402,
+reference:R/ard_nmf.R:57-70) with true cross-chip sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from singlet_tpu.ops.linalg import (
+    MM_PRECISION,
+    cor_distance,
+    packed_outer_products,
+    triu_pairs,
+    unpack_sym,
+)
+from singlet_tpu.ops.nnls import solve_nnls
+from singlet_tpu.ops.rngmask import mask_block, seed_pair
+from singlet_tpu.parallel.sharded import AXIS, make_mesh
+
+__all__ = ["ShardedEllData", "shard_ell_data", "sharded_ell_nmf_fit",
+           "make_mesh"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class ShardedEllData:
+    # A: cells are plane rows, row-ids are GLOBAL gene indices
+    a_idx: jnp.ndarray          # (cells_pad, max_nnz_a) i32, sharded P(AXIS, None)
+    a_val: jnp.ndarray          # (cells_pad, max_nnz_a) f32
+    # At: one plane set per shard, row-ids are LOCAL cell indices
+    at_idx: jnp.ndarray         # (n_dev, genes_pad, max_nnz_t) i32, P(AXIS, ...)
+    at_val: jnp.ndarray         # (n_dev, genes_pad, max_nnz_t) f32
+    nonempty: jnp.ndarray       # (cells_pad,) bool, P(AXIS)
+    gene_nonempty: jnp.ndarray  # (genes_pad,) bool, replicated
+    mesh: Mesh
+    genes_true: int
+    cells_true: int
+    genes_pad: int
+    cells_pad: int
+    cell_block: int
+    gene_block: int
+
+
+def _pack_ell(csc: sp.csc_matrix, cols_pad: int, max_nnz: int, pad_row: int):
+    from singlet_tpu import native
+
+    return native.csc_to_ell(csc, cols_pad, max_nnz, pad_row)
+
+
+def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
+                   gene_block: int = 2048) -> ShardedEllData:
+    """Build cell-sharded ELL planes (+ per-shard transposes) from genes x
+    cells sparse input."""
+    A = sp.csc_matrix(A)
+    genes, cells = A.shape
+    n_dev = mesh.shape[AXIS]
+    cell_block = min(cell_block, _round_up(max(cells // n_dev, 1), 256))
+    cells_pad = _round_up(cells, n_dev * cell_block)
+    cells_local = cells_pad // n_dev
+    gene_block = min(gene_block, _round_up(genes, 256))
+    genes_pad = _round_up(genes, gene_block)
+
+    nnz_a = np.diff(A.indptr)
+    max_nnz_a = _round_up(max(int(nnz_a.max()), 1), 8)
+    a_idx, a_val = _pack_ell(A, cells_pad, max_nnz_a, genes_pad - 1)
+
+    # per-shard transpose with local cell ids
+    shards = []
+    max_nnz_t = 8
+    for d in range(n_dev):
+        lo = d * cells_local
+        hi = min(cells, lo + cells_local)
+        local = A[:, lo:hi] if lo < cells else sp.csc_matrix((genes, 0))
+        t = local.T.tocsc()   # (cells_local_true, genes) -> csc cols=genes
+        shards.append(t)
+        if t.nnz:
+            max_nnz_t = max(max_nnz_t, int(np.diff(t.indptr).max()))
+    max_nnz_t = _round_up(max_nnz_t, 8)
+    at_idx = np.empty((n_dev, genes_pad, max_nnz_t), np.int32)
+    at_val = np.empty((n_dev, genes_pad, max_nnz_t), np.float32)
+    for d, t in enumerate(shards):
+        at_idx[d], at_val[d] = _pack_ell(t, genes_pad, max_nnz_t,
+                                         cells_local - 1)
+
+    ne = np.zeros(cells_pad, bool)
+    ne[:cells] = nnz_a > 0
+    gne = np.zeros(genes_pad, bool)
+    gne[:genes] = np.asarray((A != 0).sum(axis=1)).ravel() > 0
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    return ShardedEllData(
+        a_idx=jax.device_put(a_idx, sh(P(AXIS, None))),
+        a_val=jax.device_put(a_val, sh(P(AXIS, None))),
+        at_idx=jax.device_put(at_idx, sh(P(AXIS, None, None))),
+        at_val=jax.device_put(at_val, sh(P(AXIS, None, None))),
+        nonempty=jax.device_put(ne, sh(P(AXIS))),
+        gene_nonempty=jax.device_put(gne, sh(P())),
+        mesh=mesh, genes_true=genes, cells_true=cells,
+        genes_pad=genes_pad, cells_pad=cells_pad,
+        cell_block=cell_block, gene_block=gene_block,
+    )
+
+
+def _ell_t_matmul(idx, val, X):
+    """B[c] = sum_p val[c, p] * X[idx[c, p]] — gather-reduce product."""
+    gathered = jnp.take(X, idx, axis=0)
+    return jnp.einsum("cp,cpk->ck", val, gathered, precision=MM_PRECISION)
+
+
+def _densify(idx, val, n_rows_out):
+    """(block, max_nnz) ELL rows -> dense (block, n_rows_out) tile."""
+    block = idx.shape[0]
+    tile = jnp.zeros((block, n_rows_out), val.dtype)
+    rows = jnp.arange(block)[:, None]
+    return tile.at[rows, idx].add(val)
+
+
+def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
+    """Jitted plain + masked sharded ALS steps and mse over ELL shards."""
+    mesh = data.mesh
+    n_dev = mesh.shape[AXIS]
+    cells_local = data.cells_pad // n_dev
+    cell_block = data.cell_block
+    gene_block = data.gene_block
+    genes_pad, cells_true, genes_true = (data.genes_pad, data.cells_true,
+                                         data.genes_true)
+
+    def _local_cell_ids(dev):
+        return dev * cells_local + jnp.arange(cells_local)
+
+    def _plain(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H_loc,
+               L1_h, L1_w, L2_h, L2_w):
+        k = W.shape[1]
+        at_idx = at_idx[0]
+        at_val = at_val[0]
+        a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
+        B_h = _ell_t_matmul(a_idx, a_val, W)
+        H_loc = solve_nnls(a_w, B_h, H_loc, L1=L1_h, L2=L2_h,
+                           update_mask=ne_loc)
+        d = jax.lax.psum(jnp.sum(H_loc, axis=0), AXIS) + 1e-15
+        H_loc = H_loc / d[None, :]
+        a_h = jax.lax.psum(
+            jnp.dot(H_loc.T, H_loc, precision=MM_PRECISION), AXIS)
+        a_h = a_h + 1e-15 * jnp.eye(k)
+        B_w = jax.lax.psum(_ell_t_matmul(at_idx, at_val, H_loc), AXIS)
+        W_new = solve_nnls(a_h, B_w, W, L1=L1_w, L2=L2_w,
+                           update_mask=gene_ne)
+        d = jnp.sum(W_new, axis=0) + 1e-15
+        W_new = W_new / d[None, :]
+        tol = cor_distance(W_new[:genes_true], W[:genes_true])
+        return W_new, H_loc, d, tol
+
+    def _masked(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H_loc,
+                seed, L1, L2):
+        k = W.shape[1]
+        at_idx = at_idx[0]
+        at_val = at_val[0]
+        dev = jax.lax.axis_index(AXIS)
+        cell_ids_local = _local_cell_ids(dev)
+        gene_ids = jnp.arange(genes_pad)
+        iu = triu_pairs(k)
+
+        a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
+        Pw = packed_outer_products(W, iu)
+
+        def h_blk(_, bi):
+            start = bi * cell_block
+            ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
+                                               cell_block)
+            m = mask_block(seed, ids, gene_ids, inv_density)
+            m = m & (ids < cells_true)[:, None] & \
+                (gene_ids < genes_true)[None, :]
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
+            tile = _densify(idx, val, genes_pad)         # (blk, genes_pad)
+            keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
+            B = jnp.dot(tile * keep, W, precision=MM_PRECISION)
+            packed = jnp.dot(m.astype(W.dtype), Pw, precision=MM_PRECISION)
+            a_blk = a_full[None] - unpack_sym(packed, k, iu)
+            Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
+            ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
+            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2,
+                                    update_mask=ne)
+
+        _, Hs = jax.lax.scan(h_blk, None,
+                             jnp.arange(cells_local // cell_block))
+        H_new = Hs.reshape(cells_local, k)
+        d = jax.lax.psum(jnp.sum(H_new, axis=0), AXIS) + 1e-15
+        H_new = H_new / d[None, :]
+
+        a_h = jax.lax.psum(
+            jnp.dot(H_new.T, H_new, precision=MM_PRECISION), AXIS)
+        a_h = a_h + 1e-15 * jnp.eye(k)
+        Ph = packed_outer_products(H_new, iu)
+
+        def w_blk(_, bi):
+            start = bi * gene_block
+            gids = start + jnp.arange(gene_block)
+            m = mask_block(seed, cell_ids_local, gids, inv_density).T
+            m = m & (gids < genes_true)[:, None] & \
+                (cell_ids_local < cells_true)[None, :]
+            idx = jax.lax.dynamic_slice_in_dim(at_idx, start, gene_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(at_val, start, gene_block, 0)
+            tile = _densify(idx, val, cells_local)       # (blk, cells_local)
+            keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
+            B = jax.lax.psum(
+                jnp.dot(tile * keep, H_new, precision=MM_PRECISION), AXIS)
+            packed = jax.lax.psum(
+                jnp.dot(m.astype(W.dtype), Ph, precision=MM_PRECISION), AXIS)
+            a_blk = a_h[None] - unpack_sym(packed, k, iu)
+            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
+            ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
+            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2,
+                                    update_mask=ne)
+
+        _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
+        W_new = Ws.reshape(genes_pad, k)
+        d = jnp.sum(W_new, axis=0) + 1e-15
+        W_new = W_new / d[None, :]
+        tol = cor_distance(W_new[:genes_true], W[:genes_true])
+        return W_new, H_new, d, tol
+
+    def _mse(a_idx, a_val, W, d, H_loc, seed):
+        dev = jax.lax.axis_index(AXIS)
+        cell_ids_local = _local_cell_ids(dev)
+        gene_ids = jnp.arange(genes_pad)
+        Wd = W * d[None, :]
+
+        def blk(acc, bi):
+            start = bi * cell_block
+            ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
+                                               cell_block)
+            m = mask_block(seed, ids, gene_ids, inv_density)
+            m = m & (ids < cells_true)[:, None] & \
+                (gene_ids < genes_true)[None, :]
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
+            tile = _densify(idx, val, genes_pad)
+            Hb = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
+            pred = jnp.dot(Hb, Wd.T, precision=MM_PRECISION)
+            diff2 = jnp.square(pred - tile)
+            s = jnp.sum(jnp.where(m, diff2, 0.0), axis=1)
+            n = jnp.sum(m, axis=1)
+            return acc + jnp.sum(jnp.where(n > 0, s / jnp.maximum(n, 1),
+                                           0.0)), None
+
+        acc, _ = jax.lax.scan(blk, jnp.zeros((), W.dtype),
+                              jnp.arange(cells_local // cell_block))
+        return jax.lax.psum(acc, AXIS) / cells_true
+
+    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
+               P(AXIS, None, None), P(AXIS), P(None))
+    plain_step = jax.jit(jax.shard_map(
+        _plain, mesh=mesh,
+        in_specs=specs_a + (P(None, None), P(AXIS, None), P(), P(), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P()),
+        check_vma=False))
+    masked_step = jax.jit(jax.shard_map(
+        _masked, mesh=mesh,
+        in_specs=specs_a + (P(None, None), P(AXIS, None), P(None), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P()),
+        check_vma=False))
+    mse_fn = jax.jit(jax.shard_map(
+        _mse, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(None, None), P(None),
+                  P(AXIS, None), P(None)),
+        out_specs=P(),
+        check_vma=False))
+    return plain_step, masked_step, mse_fn
+
+
+def sharded_ell_nmf_fit(A: sp.spmatrix, k: int, mesh: Optional[Mesh] = None,
+                        tol: float = 1e-4, maxit: int = 100,
+                        L1: float = 0.01, L2: float = 0.0, seed: int = 0,
+                        masked: bool = False, inv_density: int = 20,
+                        mask_seed: int = 0, verbose: bool = False,
+                        w_init: Optional[np.ndarray] = None,
+                        data: Optional[ShardedEllData] = None):
+    """Sparse sharded NMF fit. Semantics identical to the dense engines."""
+    mesh = mesh or make_mesh()
+    if data is None:
+        data = shard_ell_data(A, mesh)
+    plain_step, masked_step, mse_fn = build_sharded_ell_steps(
+        data, inv_density)
+
+    k = int(k)
+    if w_init is None:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
+        W = jax.random.uniform(key, (data.genes_pad, k), dtype=jnp.float32)
+        W = jnp.where(
+            (jnp.arange(data.genes_pad) < data.genes_true)[:, None], W, 0.0)
+    else:
+        W = jnp.zeros((data.genes_pad, k), jnp.float32)
+        W = W.at[: w_init.shape[0]].set(jnp.asarray(w_init, jnp.float32))
+    W = jax.device_put(W, NamedSharding(mesh, P(None, None)))
+    H = jax.device_put(jnp.zeros((data.cells_pad, k), jnp.float32),
+                       NamedSharding(mesh, P(AXIS, None)))
+    d = jnp.ones((k,), jnp.float32)
+    sp_ = seed_pair(mask_seed)
+    args = (data.a_idx, data.a_val, data.at_idx, data.at_val,
+            data.nonempty, data.gene_nonempty)
+
+    tol_ = 1.0
+    traces = []
+    it = 0
+    while it < maxit and tol_ > tol:
+        if masked:
+            W, H, d, tol_j = masked_step(*args, W, H, sp_, jnp.float32(L1),
+                                         jnp.float32(L2))
+        else:
+            W, H, d, tol_j = plain_step(*args, W, H, jnp.float32(L1),
+                                        jnp.float32(L1), jnp.float32(L2),
+                                        jnp.float32(L2))
+        tol_ = float(tol_j)
+        traces.append(tol_)
+        if verbose:
+            print(f"{it + 1:4d} | {tol_:8.2e}")
+        it += 1
+
+    out = dict(
+        w=np.asarray(W[: data.genes_true]),
+        d=np.asarray(d),
+        h=np.asarray(H[: data.cells_true]).T,
+        tol_trace=traces,
+    )
+    if masked:
+        out["test_mse"] = float(mse_fn(data.a_idx, data.a_val, W, d, H, sp_))
+    return out
