@@ -19,8 +19,10 @@ Reference parity map: see SURVEY.md at the repo root. Citations of the form
 ``reference:src/singlet.cpp:NNN`` in docstrings point into /root/reference.
 """
 
+from singlet_tpu.checkpoint import CheckpointManager
 from singlet_tpu.config import NMFConfig
 from singlet_tpu.model import NMFModel
+from singlet_tpu.tracing import MetricLogger, metric_logging, profile
 from singlet_tpu.solvers.als import nmf_fit
 from singlet_tpu.solvers.ard import ard_nmf_fit
 from singlet_tpu.solvers.drivers import (
@@ -36,6 +38,10 @@ from singlet_tpu.solvers.project import project_model
 __version__ = "0.1.0"
 
 __all__ = [
+    "CheckpointManager",
+    "MetricLogger",
+    "metric_logging",
+    "profile",
     "NMFConfig",
     "NMFModel",
     "nmf_fit",

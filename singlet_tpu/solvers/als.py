@@ -25,6 +25,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Optional, Tuple, Union
 
@@ -41,9 +42,11 @@ from singlet_tpu.ops.linalg import (
     triu_pairs,
     unpack_sym,
 )
+from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
 from singlet_tpu.ops.nnls import solve_nnls
 from singlet_tpu.ops.rngmask import seed_pair
 from singlet_tpu.sparse.matrix import DenseMatrix
+from singlet_tpu.tracing import get_metric_logger
 
 
 def _round_up(x: int, m: int) -> int:
@@ -235,6 +238,7 @@ def nmf_fit(
     verbose: bool = False,
     link_h: Optional[jnp.ndarray] = None,
     link_w: Optional[jnp.ndarray] = None,
+    checkpoint: Optional[Union[str, CheckpointManager]] = None,
 ) -> FitResult:
     """Fit NMF by ALS: the engine under ``run_nmf`` (reference:R/run_nmf.R:18-77,
     solver loop reference:src/singlet.cpp:639-666).
@@ -242,6 +246,11 @@ def nmf_fit(
     L1/L2 may be scalars or (w, h) pairs, matching ``c_nmf``'s split
     penalties. ``link_h``/``link_w`` are 0/1 linking masks of shape
     (cells, k) / (genes, k) for linked NMF (reference:src/singlet.cpp:1059-1086).
+
+    ``checkpoint`` (a directory path or CheckpointManager) enables periodic
+    atomic state saves and automatic resume; a resumed fit continues
+    bit-identically (the ALS recurrence is deterministic given state). No
+    reference counterpart — singlet restarts crashed fits from zero.
     """
     if At is not None:
         Ap, Atp = A, At        # caller-built providers (dense or ELL)
@@ -268,18 +277,46 @@ def nmf_fit(
         lw = jnp.zeros((genes_pad, k), jnp.float32)
         link_w = lw.at[: link_w.shape[0]].set(jnp.asarray(link_w, jnp.float32))
 
+    mgr = resolve_manager(checkpoint)
+    ckpt_config = CheckpointManager.config_of(
+        algo="als", k=int(k), genes_pad=int(genes_pad),
+        cells_pad=int(cells_pad), L1=[L1_w, L1_h], L2=[L2_w, L2_h],
+        seed=int(seed), linked=[link_h is not None, link_w is not None],
+    )
     tol_trace = []
-    tol_ = 1.0
-    it = 0
-    for it in range(maxit):
+    start_it = 0
+    if mgr is not None:
+        st = mgr.restore(ckpt_config, verbose=verbose)
+        if st is not None:
+            W = jnp.asarray(st["W"])
+            H = jnp.asarray(st["H"])
+            d = jnp.asarray(st["d"])
+            tol_trace = list(st["tol_trace"])
+            start_it = int(st["it"])
+
+    logger = get_metric_logger()
+    fit_id = logger.new_fit_id("als")
+    logger.log("fit_start", fit=fit_id, algo="als", k=int(k),
+               genes=int(Ap.rows_true), cells=int(Ap.cols_true),
+               maxit=maxit, resumed_at=start_it or None)
+    tol_ = tol_trace[-1] if tol_trace else 1.0
+    for it in range(start_it, maxit):
         if tol_ <= tol:
             break
+        t0 = time.perf_counter()
         W, H, d, tol_j = als_step(Ap, Atp, W, H, L1_h, L1_w, L2_h, L2_w,
                                   link_h, link_w)
         tol_ = float(tol_j)
         tol_trace.append(tol_)
+        logger.log("iteration", fit=fit_id, iter=it + 1, tol=tol_,
+                   ms=round((time.perf_counter() - t0) * 1e3, 3))
         if verbose:
             print(f"{it + 1:4d} | {tol_:8.2e}")
+        if mgr is not None:
+            mgr.maybe_save(it + 1, dict(
+                ckpt_config, W=np.asarray(W), H=np.asarray(H),
+                d=np.asarray(d), tol_trace=tol_trace))
+    logger.log("fit_end", fit=fit_id, n_iter=len(tol_trace), tol=tol_)
 
     return FitResult(
         w=np.asarray(W[: Ap.rows_true]),
