@@ -45,9 +45,23 @@ def _coerce_dense(A) -> np.ndarray:
 def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMatrix]:
     """Build (A, At) providers. scipy-sparse inputs above `sparse_threshold`
     dense entries stay in ELL storage (sparse storage, dense compute tiles);
-    everything smaller is densified outright — fastest on the MXU."""
-    if isinstance(A, tuple) and hasattr(A[0], "t_matmul"):
+    everything smaller is densified outright — fastest on the MXU.
+
+    List/tuple inputs are the chunked "sparse list" mode: column chunks
+    (scipy matrices, .svc/.mtx paths, or loader callables) streamed into ELL
+    planes one at a time (reference:src/singlet.cpp:384-402 and the R
+    distributed transpose reference:R/ard_nmf.R:57-70). A string input names
+    a staged chunk directory (stage_chunks)."""
+    if isinstance(A, tuple) and len(A) == 2 and hasattr(A[0], "t_matmul"):
         return A
+    if isinstance(A, str):
+        from singlet_tpu.sparse.chunked import load_staged_chunks
+
+        return load_staged_chunks(A)
+    if isinstance(A, (list, tuple)):
+        from singlet_tpu.sparse.chunked import ell_pair_from_chunks
+
+        return ell_pair_from_chunks(A)
     try:
         import scipy.sparse as sp
 
@@ -178,7 +192,7 @@ def cross_validate_nmf(
                       "than 0.01, as a general rule of thumb")
     enable_compilation_cache()
     Ap, Atp = _providers(A)
-    genes_pad = Ap.data.shape[0]
+    genes_pad = Ap.rows_pad
     k_top = int(max(ranks))
     inv_density = round(1.0 / test_density)
 
@@ -255,7 +269,7 @@ def ard_nmf(
     enable_compilation_cache()
 
     Ap, Atp = _providers(A)
-    genes_pad = Ap.data.shape[0]
+    genes_pad = Ap.rows_pad
     inv_density = round(1.0 / test_density)
     test_seed = seed
 

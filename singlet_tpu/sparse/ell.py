@@ -58,20 +58,24 @@ class EllMatrix:
     @classmethod
     def from_csc(cls, A: sp.spmatrix, cols_are_cells: bool = True,
                  block: int = 2048, rows_pad_to: int = 256,
-                 nnz_quantum: int = 8) -> "EllMatrix":
+                 nnz_quantum: int = 8, rows_pad: int = 0,
+                 cols_pad: int = 0) -> "EllMatrix":
+        """Pack a CSC matrix into ELL planes. ``rows_pad``/``cols_pad`` > 0
+        force exact padded dims (used by ``pair_from_csc`` to keep the A/At
+        pair's geometry consistent); the native packer (singlet_io) is used
+        when available."""
+        from singlet_tpu import native
+
         A = sp.csc_matrix(A)
         rows, cols = A.shape
         nnz_per_col = np.diff(A.indptr)
         max_nnz = _round_up(max(int(nnz_per_col.max()), 1), nnz_quantum)
         blk = min(block, _round_up(cols, 256))
-        cols_pad = _round_up(cols, blk)
-        rows_pad = _round_up(rows, rows_pad_to)
-        idx = np.full((cols_pad, max_nnz), rows_pad - 1, np.int32)
-        val = np.zeros((cols_pad, max_nnz), np.float32)
-        for c in range(cols):
-            lo, hi = A.indptr[c], A.indptr[c + 1]
-            idx[c, : hi - lo] = A.indices[lo:hi]
-            val[c, : hi - lo] = A.data[lo:hi]
+        if not cols_pad:
+            cols_pad = _round_up(cols, blk)
+        if not rows_pad:
+            rows_pad = _round_up(rows, rows_pad_to)
+        idx, val = native.csc_to_ell(A, cols_pad, max_nnz, rows_pad - 1)
         ne = np.zeros(cols_pad, bool)
         ne[:cols] = nnz_per_col > 0
         return cls(idx=jnp.asarray(idx), val=jnp.asarray(val),
@@ -82,11 +86,23 @@ class EllMatrix:
     @classmethod
     def pair_from_csc(cls, A: sp.spmatrix, cell_block: int = 2048,
                       gene_block: int = 2048) -> Tuple["EllMatrix", "EllMatrix"]:
-        """(A, At) ELL providers from a genes x cells sparse matrix, with
-        consistent row paddings (A.rows_pad == genes_pad == At cols context)."""
+        """(A, At) ELL providers from a genes x cells sparse matrix.
+
+        The pair's padded geometry is computed jointly so the solver
+        invariants hold for every shape: ``Ap.cols_pad == Atp.rows_pad``
+        (cells axis) and ``Ap.rows_pad == Atp.cols_pad`` (genes axis).
+        """
         A = sp.csc_matrix(A)
-        Ap = cls.from_csc(A, cols_are_cells=True, block=cell_block)
-        Atp = cls.from_csc(A.T.tocsc(), cols_are_cells=False, block=gene_block)
+        genes, cells = A.shape
+        blk_c = min(cell_block, _round_up(max(cells, 1), 256))
+        cells_pad = _round_up(cells, blk_c)
+        blk_g = min(gene_block, _round_up(max(genes, 1), 256))
+        genes_pad = _round_up(genes, blk_g)
+        Ap = cls.from_csc(A, cols_are_cells=True, block=cell_block,
+                          rows_pad=genes_pad, cols_pad=cells_pad)
+        Atp = cls.from_csc(A.T.tocsc(), cols_are_cells=False,
+                           block=gene_block, rows_pad=cells_pad,
+                           cols_pad=genes_pad)
         return Ap, Atp
 
     # ----------------------------------------------------------- geometry
