@@ -36,8 +36,8 @@ from singlet_tpu.ops.nnls import solve_nnls
 from singlet_tpu.ops.rngmask import mask_block, seed_pair
 from singlet_tpu.parallel.sharded import AXIS, make_mesh
 
-__all__ = ["ShardedEllData", "shard_ell_data", "sharded_ell_nmf_fit",
-           "make_mesh"]
+__all__ = ["ShardedEllData", "ShardedEllEngine", "shard_ell_data",
+           "sharded_ell_nmf_fit", "make_mesh"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -291,6 +291,171 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
     return plain_step, masked_step, mse_fn
 
 
+class ShardedEllEngine:
+    """Dataset-resident multi-chip sparse NMF engine.
+
+    Holds the sharded ELL planes plus the compiled step functions (cached
+    per mask density) so a rank search re-uses compilations across fits —
+    the analogue of the reference keeping A/At alive for a whole
+    ``ard_nmf`` search (reference:R/ard_nmf.R:57-97). This is the engine
+    the drivers route to when given a ``mesh``.
+    """
+
+    def __init__(self, A: sp.spmatrix, mesh: Optional[Mesh] = None,
+                 cell_block: int = 2048, gene_block: int = 2048,
+                 data: Optional[ShardedEllData] = None) -> None:
+        self.mesh = (data.mesh if data is not None
+                     else (mesh or make_mesh()))
+        self.data = data if data is not None else shard_ell_data(
+            A, self.mesh, cell_block=cell_block, gene_block=gene_block)
+        self._steps = {}
+
+    # driver-facing geometry (mirrors the provider protocol)
+    @property
+    def rows_pad(self) -> int:
+        return self.data.genes_pad
+
+    @property
+    def rows_true(self) -> int:
+        return self.data.genes_true
+
+    @property
+    def cols_true(self) -> int:
+        return self.data.cells_true
+
+    def steps(self, inv_density: int):
+        if inv_density not in self._steps:
+            self._steps[inv_density] = build_sharded_ell_steps(
+                self.data, inv_density)
+        return self._steps[inv_density]
+
+    def _state(self, k: int, w_init, seed: int):
+        data = self.data
+        k = int(k)
+        if w_init is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
+            W = jax.random.uniform(key, (data.genes_pad, k),
+                                   dtype=jnp.float32)
+            W = jnp.where(
+                (jnp.arange(data.genes_pad) < data.genes_true)[:, None],
+                W, 0.0)
+        else:
+            W = jnp.zeros((data.genes_pad, k), jnp.float32)
+            W = W.at[: w_init.shape[0]].set(
+                jnp.asarray(w_init, jnp.float32))
+        W = jax.device_put(W, NamedSharding(self.mesh, P(None, None)))
+        H = jax.device_put(jnp.zeros((data.cells_pad, k), jnp.float32),
+                           NamedSharding(self.mesh, P(AXIS, None)))
+        args = (data.a_idx, data.a_val, data.at_idx, data.at_val,
+                data.nonempty, data.gene_nonempty)
+        return W, H, args
+
+    # ---------------------------------------------------------------- fits
+    def fit(self, k: int, tol: float = 1e-4, maxit: int = 100,
+            L1=0.01, L2=0.0, seed: int = 0, verbose: bool = False,
+            w_init: Optional[np.ndarray] = None,
+            masked: bool = False, inv_density: int = 20,
+            mask_seed: int = 0):
+        """Plain (or masked, without traces) sharded fit; returns the same
+        dict shape ``sharded_ell_nmf_fit`` always has."""
+        plain_step, masked_step, mse_fn = self.steps(inv_density)
+        W, H, args = self._state(k, w_init, seed)
+        d = jnp.ones((int(k),), jnp.float32)
+        sp_ = seed_pair(mask_seed)
+        L1_w, L1_h = (L1 if isinstance(L1, (tuple, list)) else (L1, L1))
+        L2_w, L2_h = (L2 if isinstance(L2, (tuple, list)) else (L2, L2))
+
+        tol_ = 1.0
+        traces = []
+        it = 0
+        while it < maxit and tol_ > tol:
+            if masked:
+                W, H, d, tol_j = masked_step(*args, W, H, sp_,
+                                             jnp.float32(L1_h),
+                                             jnp.float32(L2_h))
+            else:
+                W, H, d, tol_j = plain_step(*args, W, H,
+                                            jnp.float32(L1_h),
+                                            jnp.float32(L1_w),
+                                            jnp.float32(L2_h),
+                                            jnp.float32(L2_w))
+            tol_ = float(tol_j)
+            traces.append(tol_)
+            if verbose:
+                print(f"{it + 1:4d} | {tol_:8.2e}")
+            it += 1
+
+        out = dict(
+            w=np.asarray(W[: self.data.genes_true]),
+            d=np.asarray(d),
+            h=np.asarray(H[: self.data.cells_true]).T,
+            tol_trace=traces,
+        )
+        if masked:
+            out["test_mse"] = float(
+                mse_fn(self.data.a_idx, self.data.a_val, W, d, H, sp_))
+        return out
+
+    def ard_fit(self, k: int, w_init=None, mask_seed: int = 0,
+                inv_density: int = 20, tol: float = 1e-4, maxit: int = 100,
+                L1: float = 0.01, L2: float = 0.0,
+                overfit_threshold: float = 1e-3, trace_test_mse: int = 1,
+                verbose: int = 0, init_seed: int = 0):
+        """Masked fit with test-MSE traces and overfit early-stop — the
+        multi-chip twin of ``solvers.ard.ard_nmf_fit`` (semantics from
+        reference:src/singlet.cpp:1106-1141), consumed by the drivers'
+        rank-search loops unchanged."""
+        from singlet_tpu.solvers.ard import ArdFitResult
+        from singlet_tpu.utils import vprint
+
+        _, masked_step, mse_fn = self.steps(inv_density)
+        W, H, args = self._state(k, w_init, init_seed)
+        d = jnp.ones((int(k),), jnp.float32)
+        sp_ = seed_pair(mask_seed)
+
+        test_mse_t, iter_t, tol_t, score_t = [], [], [], []
+        tol_ = 1.0
+        it = 0
+        stopped_early = False
+        while it < maxit and tol_ > tol:
+            W, H, d, tol_j = masked_step(*args, W, H, sp_, jnp.float32(L1),
+                                         jnp.float32(L2))
+            tol_ = float(tol_j)
+            if it % trace_test_mse == 0:
+                err = float(mse_fn(self.data.a_idx, self.data.a_val,
+                                   W, d, H, sp_))
+                test_mse_t.append(err)
+                iter_t.append(it)
+                tol_t.append(tol_)
+                min_err = min(test_mse_t)
+                score = (err - min_err) / (err + min_err)
+                score_t.append(score)
+                vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} | {score:8.2e}")
+                if score > overfit_threshold:
+                    stopped_early = True
+                    break
+            else:
+                vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} |        -")
+            it += 1
+
+        if it % trace_test_mse != 0 and not stopped_early:
+            err = float(mse_fn(self.data.a_idx, self.data.a_val,
+                               W, d, H, sp_))
+            test_mse_t.append(err)
+            iter_t.append(it)
+            tol_t.append(tol_)
+            min_err = min(test_mse_t)
+            score_t.append((err - min_err) / (err + min_err))
+
+        return ArdFitResult(
+            w=np.asarray(W[: self.data.genes_true]),
+            d=np.asarray(d),
+            h=np.asarray(H[: self.data.cells_true]).T,
+            test_mse=test_mse_t, iter=iter_t, tol=tol_t,
+            score_overfit=score_t,
+        )
+
+
 def sharded_ell_nmf_fit(A: sp.spmatrix, k: int, mesh: Optional[Mesh] = None,
                         tol: float = 1e-4, maxit: int = 100,
                         L1: float = 0.01, L2: float = 0.0, seed: int = 0,
@@ -299,52 +464,7 @@ def sharded_ell_nmf_fit(A: sp.spmatrix, k: int, mesh: Optional[Mesh] = None,
                         w_init: Optional[np.ndarray] = None,
                         data: Optional[ShardedEllData] = None):
     """Sparse sharded NMF fit. Semantics identical to the dense engines."""
-    mesh = mesh or make_mesh()
-    if data is None:
-        data = shard_ell_data(A, mesh)
-    plain_step, masked_step, mse_fn = build_sharded_ell_steps(
-        data, inv_density)
-
-    k = int(k)
-    if w_init is None:
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
-        W = jax.random.uniform(key, (data.genes_pad, k), dtype=jnp.float32)
-        W = jnp.where(
-            (jnp.arange(data.genes_pad) < data.genes_true)[:, None], W, 0.0)
-    else:
-        W = jnp.zeros((data.genes_pad, k), jnp.float32)
-        W = W.at[: w_init.shape[0]].set(jnp.asarray(w_init, jnp.float32))
-    W = jax.device_put(W, NamedSharding(mesh, P(None, None)))
-    H = jax.device_put(jnp.zeros((data.cells_pad, k), jnp.float32),
-                       NamedSharding(mesh, P(AXIS, None)))
-    d = jnp.ones((k,), jnp.float32)
-    sp_ = seed_pair(mask_seed)
-    args = (data.a_idx, data.a_val, data.at_idx, data.at_val,
-            data.nonempty, data.gene_nonempty)
-
-    tol_ = 1.0
-    traces = []
-    it = 0
-    while it < maxit and tol_ > tol:
-        if masked:
-            W, H, d, tol_j = masked_step(*args, W, H, sp_, jnp.float32(L1),
-                                         jnp.float32(L2))
-        else:
-            W, H, d, tol_j = plain_step(*args, W, H, jnp.float32(L1),
-                                        jnp.float32(L1), jnp.float32(L2),
-                                        jnp.float32(L2))
-        tol_ = float(tol_j)
-        traces.append(tol_)
-        if verbose:
-            print(f"{it + 1:4d} | {tol_:8.2e}")
-        it += 1
-
-    out = dict(
-        w=np.asarray(W[: data.genes_true]),
-        d=np.asarray(d),
-        h=np.asarray(H[: data.cells_true]).T,
-        tol_trace=traces,
-    )
-    if masked:
-        out["test_mse"] = float(mse_fn(data.a_idx, data.a_val, W, d, H, sp_))
-    return out
+    engine = ShardedEllEngine(A, mesh=mesh, data=data)
+    return engine.fit(k, tol=tol, maxit=maxit, L1=L1, L2=L2, seed=seed,
+                      verbose=verbose, w_init=w_init, masked=masked,
+                      inv_density=inv_density, mask_seed=mask_seed)

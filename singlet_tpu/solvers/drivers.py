@@ -74,6 +74,65 @@ def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMat
     return make_dense_providers(_coerce_dense(A))
 
 
+def _engine_or_providers(A, mesh):
+    """With a mesh, route to the multi-chip sparse engine (cells sharded
+    over the mesh, ELL storage); otherwise build single-chip providers."""
+    if mesh is None:
+        return _providers(A)
+    import scipy.sparse as sp
+
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    if isinstance(A, ShardedEllEngine):
+        return A
+    if isinstance(A, str):
+        from singlet_tpu.sparse.chunked import staged_chunk_loaders
+
+        A = staged_chunk_loaders(A)
+    if isinstance(A, (list, tuple)):
+        from singlet_tpu.sparse.chunked import _load_chunk
+
+        A = sp.hstack([_load_chunk(c) for c in A]).tocsc()
+    return ShardedEllEngine(sp.csc_matrix(A), mesh=mesh)
+
+
+def _fit_plain(P, k, *, w_init, tol, maxit, L1, L2, seed, verbose):
+    """Dispatch a plain fit to the single-chip engine or a sharded engine;
+    returns (w, d, h)."""
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    if isinstance(P, ShardedEllEngine):
+        out = P.fit(k, tol=tol, maxit=maxit, L1=L1, L2=L2, seed=seed,
+                    verbose=bool(verbose), w_init=w_init)
+        return out["w"], out["d"], out["h"]
+    Ap, Atp = P
+    res = nmf_fit(Ap, int(k), At=Atp, w_init=w_init, tol=tol, maxit=maxit,
+                  L1=L1, L2=L2, seed=seed, verbose=bool(verbose))
+    return res.w, res.d, res.h
+
+
+def _fit_masked(P, k, **kw):
+    """Dispatch a masked (trace-producing) fit; returns ArdFitResult."""
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    if isinstance(P, ShardedEllEngine):
+        return P.ard_fit(k, **kw)
+    Ap, Atp = P
+    return ard_nmf_fit(Ap, k, At=Atp, **kw)
+
+
+def _rows_pad_of(P) -> int:
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    return P.rows_pad if isinstance(P, ShardedEllEngine) else P[0].rows_pad
+
+
+def _rows_true_of(P) -> int:
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    return P.rows_true if isinstance(P, ShardedEllEngine) else P[0].rows_true
+
+
 def _finalize(w, d, h, gene_names=None, cell_names=None, cv_data=None,
               reduction_key: str = "NMF_") -> NMFModel:
     """Sort factors by decreasing d and attach names
@@ -100,15 +159,20 @@ def run_nmf(
     w_init: Optional[np.ndarray] = None,
     gene_names=None,
     cell_names=None,
+    mesh=None,
 ) -> NMFModel:
-    """Fit NMF at a fixed rank (reference:R/run_nmf.R:18-77)."""
+    """Fit NMF at a fixed rank (reference:R/run_nmf.R:18-77).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — the fit then runs on the
+    multi-chip sparse engine with cells sharded over the mesh (models are
+    identical to the single-chip path)."""
     if np.isscalar(L1) and L1 >= 1:
         raise ValueError("L1 penalty must be strictly in the range [0, 1)")
     enable_compilation_cache()
-    Ap, Atp = _providers(A)
-    res = nmf_fit(Ap, int(rank), At=Atp, w_init=w_init, tol=tol, maxit=maxit,
-                  L1=L1, L2=L2, seed=seed, verbose=bool(verbose))
-    return _finalize(res.w, res.d, res.h, gene_names, cell_names)
+    P = _engine_or_providers(A, mesh)
+    w, d, h = _fit_plain(P, int(rank), w_init=w_init, tol=tol, maxit=maxit,
+                         L1=L1, L2=L2, seed=seed, verbose=verbose)
+    return _finalize(w, d, h, gene_names, cell_names)
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +187,11 @@ def get_best_rank(df: pd.DataFrame, tol_overfit: float = 1e-4) -> int:
     condense each (rep, k) to its last trace point and take the k minimizing
     test error; floor of the mean across replicates.
     """
+    if len(df) == 0:
+        # e.g. the very first fit of a search already overfit: nothing below
+        # the cap — fall back to the minimum rank (mirrors the empty-cap
+        # branch below; R would propagate NaN here)
+        return 2
     best_ranks = []
     for rep in sorted(df["rep"].unique()):
         df_rep = df[df["rep"] == rep]
@@ -176,13 +245,15 @@ def cross_validate_nmf(
     tol_overfit: float = 1e-4,
     trace_test_mse: int = 5,
     seed: int = 0,
+    mesh=None,
 ) -> pd.DataFrame:
     """Masked CV over a (rank, replicate) grid
     (reference:R/cross_validate_nmf.R:18-105).
 
     Each replicate shares one nested w_init (rank-k fit uses the first k
     columns) and a deterministic per-replicate mask seed. Returns the tidy
-    trace frame of class ``cross_validate_nmf_data``.
+    trace frame of class ``cross_validate_nmf_data``. ``mesh`` routes every
+    fit to the multi-chip sparse engine.
     """
     if L1 >= 1:
         raise ValueError("L1 penalty must be strictly in the range [0, 1)")
@@ -191,13 +262,13 @@ def cross_validate_nmf(
         warnings.warn("'test_density' should not be greater than 0.2 or less "
                       "than 0.01, as a general rule of thumb")
     enable_compilation_cache()
-    Ap, Atp = _providers(A)
-    genes_pad = Ap.rows_pad
+    P = _engine_or_providers(A, mesh)
+    genes_pad = _rows_pad_of(P)
     k_top = int(max(ranks))
     inv_density = round(1.0 / test_density)
 
     w_inits = [
-        init_w(k_top, genes_pad, Ap.rows_true, seed=seed * 1000 + rep)
+        init_w(k_top, genes_pad, _rows_true_of(P), seed=seed * 1000 + rep)
         for rep in range(1, n_replicates + 1)
     ]
 
@@ -206,8 +277,8 @@ def cross_validate_nmf(
     grid = [(int(k), rep) for rep in range(1, n_replicates + 1) for k in ranks]
     for idx, (k, rep) in enumerate(grid):
         vprint(verbose, 2, f"k = {k}, rep = {rep} ({idx + 1}/{len(grid)}):")
-        res = ard_nmf_fit(
-            Ap, k, At=Atp, w_init=w_inits[rep - 1][:, :k],
+        res = _fit_masked(
+            P, k, w_init=w_inits[rep - 1][:, :k],
             mask_seed=seed + rep, inv_density=inv_density, tol=tol,
             maxit=maxit, L1=L1, L2=L2, overfit_threshold=tol_overfit,
             trace_test_mse=trace_test_mse, verbose=verbose,
@@ -245,6 +316,7 @@ def ard_nmf(
     gene_names=None,
     cell_names=None,
     max_fits: int = 100,
+    mesh=None,
 ) -> NMFModel:
     """Automatic rank determination (reference:R/ard_nmf.R:31-193).
 
@@ -268,13 +340,13 @@ def ard_nmf(
         raise ValueError("k_min cannot be less than 2")
     enable_compilation_cache()
 
-    Ap, Atp = _providers(A)
-    genes_pad = Ap.rows_pad
+    P = _engine_or_providers(A, mesh)
+    genes_pad = _rows_pad_of(P)
     inv_density = round(1.0 / test_density)
     test_seed = seed
 
     w_inits = [
-        init_w(k_max, genes_pad, Ap.rows_true, seed=seed * 1000 + rep)
+        init_w(k_max, genes_pad, _rows_true_of(P), seed=seed * 1000 + rep)
         for rep in range(1, n_replicates + 1)
     ]
 
@@ -289,8 +361,8 @@ def ard_nmf(
         while (step_size >= 1 and curr_rank <= this_k_max
                and curr_rank >= k_min and n_fits < max_fits):
             vprint(verbose, 1, f"k = {curr_rank} , rep = {curr_rep}")
-            res = ard_nmf_fit(
-                Ap, curr_rank, At=Atp,
+            res = _fit_masked(
+                P, curr_rank,
                 w_init=w_inits[curr_rep - 1][:, :curr_rank],
                 mask_seed=test_seed + curr_rep, inv_density=inv_density,
                 tol=cv_tol, maxit=maxit, L1=L1, L2=L2,
@@ -349,7 +421,7 @@ def ard_nmf(
     best_rank = get_best_rank(df, tol_overfit)
 
     vprint(verbose, 1, f"\nFitting final model at k = {best_rank}")
-    res = nmf_fit(Ap, best_rank, At=Atp,
-                  w_init=w_inits[0][:, :best_rank], tol=tol, maxit=maxit,
-                  L1=L1, L2=L2, verbose=verbose > 2)
-    return _finalize(res.w, res.d, res.h, gene_names, cell_names, cv_data=df)
+    w, d, h = _fit_plain(P, best_rank, w_init=w_inits[0][:, :best_rank],
+                         tol=tol, maxit=maxit, L1=L1, L2=L2, seed=seed,
+                         verbose=verbose > 2)
+    return _finalize(w, d, h, gene_names, cell_names, cv_data=df)
