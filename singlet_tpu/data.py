@@ -141,3 +141,87 @@ def read_h5ad(path: str) -> CellDataset:
             pass
     return CellDataset(counts=mat, gene_names=genes, cell_names=cells,
                        meta=meta)
+
+
+def write_h5ad(path: str, dataset: CellDataset,
+               reductions: Optional[dict] = None) -> None:
+    """Write an AnnData-compatible .h5ad (via h5py; anndata not required).
+
+    The reference hands results to Seurat/SCE objects in-process
+    (reference:R/RunNMF.R:155-163); the Python-ecosystem equivalent is an
+    AnnData file: X as CSR (cells x genes), obs metadata (categoricals),
+    and each NMFModel reduction stored the scanpy way — embeddings in
+    ``obsm/X_<name>``, loadings in ``varm/<name>_loadings``, d and factor
+    names in ``uns/<name>``. Round-trips through ``read_h5ad`` and loads in
+    scanpy/anndata unchanged.
+    """
+    import h5py
+
+    def _str_ds(group, name, values):
+        ds = group.create_dataset(
+            name, data=np.asarray([str(v) for v in values], dtype=object),
+            dtype=h5py.string_dtype())
+        ds.attrs["encoding-type"] = "string-array"
+        ds.attrs["encoding-version"] = "0.2.0"
+        return ds
+
+    csr = dataset.counts.T.tocsr()          # AnnData is cells x genes
+    n_cells, n_genes = csr.shape
+    with h5py.File(path, "w") as f:
+        f.attrs["encoding-type"] = "anndata"
+        f.attrs["encoding-version"] = "0.1.0"
+        X = f.create_group("X")
+        X.attrs["encoding-type"] = "csr_matrix"
+        X.attrs["encoding-version"] = "0.1.0"
+        X.attrs["shape"] = np.asarray([n_cells, n_genes], np.int64)
+        X.create_dataset("data", data=csr.data.astype(np.float32))
+        X.create_dataset("indices", data=csr.indices.astype(np.int32))
+        X.create_dataset("indptr", data=csr.indptr.astype(np.int64))
+
+        for gname, names, n in (("obs", dataset.cell_names, n_cells),
+                                ("var", dataset.gene_names, n_genes)):
+            g = f.create_group(gname)
+            g.attrs["encoding-type"] = "dataframe"
+            g.attrs["encoding-version"] = "0.2.0"
+            g.attrs["_index"] = "_index"
+            g.attrs.create("column-order", data=[],
+                           dtype=h5py.string_dtype())
+            _str_ds(g, "_index",
+                    names if names is not None else range(n))
+
+        cols = []
+        for key, vals in (dataset.meta or {}).items():
+            vals = np.asarray(vals)
+            cats, codes = np.unique(vals.astype(str), return_inverse=True)
+            g = f["obs"].create_group(key)
+            g.attrs["encoding-type"] = "categorical"
+            g.attrs["encoding-version"] = "0.2.0"
+            g.attrs["ordered"] = False
+            _str_ds(g, "categories", cats)
+            g.create_dataset("codes", data=codes.astype(np.int32))
+            cols.append(key)
+        f["obs"].attrs.create("column-order", data=cols,
+                              dtype=h5py.string_dtype())
+
+        obsm = f.create_group("obsm")
+        varm = f.create_group("varm")
+        uns = f.create_group("uns")
+        for grp in (obsm, varm, uns):
+            grp.attrs["encoding-type"] = "dict"
+            grp.attrs["encoding-version"] = "0.1.0"
+        for name, model in (reductions or {}).items():
+            emb = obsm.create_dataset(
+                f"X_{name}", data=np.asarray(model.embeddings, np.float32))
+            load = varm.create_dataset(
+                f"{name}_loadings",
+                data=np.asarray(model.loadings, np.float32))
+            for ds in (emb, load):
+                ds.attrs["encoding-type"] = "array"
+                ds.attrs["encoding-version"] = "0.2.0"
+            u = uns.create_group(name)
+            u.attrs["encoding-type"] = "dict"
+            u.attrs["encoding-version"] = "0.1.0"
+            d = u.create_dataset("d", data=np.asarray(model.d, np.float32))
+            d.attrs["encoding-type"] = "array"
+            d.attrs["encoding-version"] = "0.2.0"
+            _str_ds(u, "factor_names", model.factor_names)

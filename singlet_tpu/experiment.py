@@ -68,6 +68,27 @@ class Experiment:
             self.preprocess_data()
         return self.data
 
+    # ---------------------------------------------------------- interop
+    def to_h5ad(self, path: str, layer: str = "counts") -> "Experiment":
+        """Write the experiment (matrix, metadata, reductions) to an
+        AnnData-compatible .h5ad — the Python-ecosystem handoff equivalent
+        of the reference storing results in Seurat/SCE objects."""
+        from singlet_tpu.data import CellDataset, write_h5ad
+
+        mat = self.counts if layer == "counts" and self.counts is not None \
+            else self.data
+        ds = CellDataset(counts=sp.csc_matrix(mat),
+                         gene_names=self.gene_names,
+                         cell_names=self.cell_names, meta=self.meta)
+        write_h5ad(path, ds, reductions=self.reductions)
+        return self
+
+    @classmethod
+    def from_h5ad(cls, path: str) -> "Experiment":
+        from singlet_tpu.data import read_h5ad
+
+        return cls.from_dataset(read_h5ad(path))
+
     # --------------------------------------------------------------- NMF
     def run_nmf(self, k=None, split_by: Optional[str] = None, reps: int = 3,
                 tol: float = 1e-5, L1: float = 0.01, L2: float = 0.0,
@@ -76,10 +97,12 @@ class Experiment:
                 test_set_density: float = 0.05, learning_rate: float = 0.8,
                 tol_overfit: float = 1e-4, trace_test_mse: int = 5,
                 features: Optional[Sequence] = None, seed: int = 0,
+                mesh=None,
                 ) -> "Experiment":
         """RunNMF dispatch (reference:R/RunNMF.R:101-151): k=None -> automatic
         rank determination; k a sequence -> cross-validation then final fit;
-        scalar k -> fixed-rank fit. Stores an NMFModel reduction."""
+        scalar k -> fixed-rank fit. Stores an NMFModel reduction. ``mesh``
+        (a jax.sharding.Mesh) runs every fit on the multi-chip engine."""
         A = self._assay()
         gene_names = self.gene_names
         if features is not None:
@@ -99,24 +122,25 @@ class Experiment:
                 A, ranks=list(np.atleast_1d(k)), n_replicates=reps,
                 tol=tol * 10, maxit=maxit, verbose=verbose, L1=L1, L2=L2,
                 test_density=test_set_density, tol_overfit=tol_overfit,
-                trace_test_mse=trace_test_mse, seed=seed)
+                trace_test_mse=trace_test_mse, seed=seed, mesh=mesh)
             best = drivers.get_best_rank(cv_data, tol_overfit)
             if verbose:
                 print(f"best rank: {best}")
             model = drivers.run_nmf(A, best, tol=tol, maxit=maxit,
-                                    verbose=verbose, L1=L1, L2=L2, seed=seed)
+                                    verbose=verbose, L1=L1, L2=L2, seed=seed,
+                                    mesh=mesh)
         elif k is None:
             model = drivers.ard_nmf(
                 A, k_init=None, k_max=10000, k_min=2, n_replicates=reps,
                 tol=tol, cv_tol=tol * 10, maxit=maxit, verbose=verbose,
                 L1=L1, L2=L2, test_density=test_set_density,
                 learning_rate=learning_rate, tol_overfit=tol_overfit,
-                trace_test_mse=trace_test_mse, seed=seed)
+                trace_test_mse=trace_test_mse, seed=seed, mesh=mesh)
             cv_data = model.cv_data
         else:
             model = drivers.run_nmf(A, int(np.atleast_1d(k)[0]), tol=tol,
                                     maxit=maxit, verbose=verbose, L1=L1,
-                                    L2=L2, seed=seed)
+                                    L2=L2, seed=seed, mesh=mesh)
         model.gene_names = gene_names
         model.cell_names = self.cell_names
         model.reduction_key = reduction_key

@@ -75,38 +75,35 @@ def nnls_batch(
 
     l1_is_array = isinstance(L1, jnp.ndarray) and getattr(L1, "ndim", 0) == 2
 
-    def coord(i, X, Bres, tol_sweep, active):
+    # precomputed diagonal reciprocals: one divide per system instead of one
+    # per coordinate step
+    if batched_a:
+        inv_diag = 1.0 / jnp.diagonal(a, axis1=1, axis2=2)     # (n, k)
+    else:
+        inv_diag = 1.0 / jnp.diagonal(a)                       # (k,)
+
+    def coord(i, X, Bres, active_f):
         if batched_a:
-            a_ii = a[:, i, i]          # (n,)
+            inv_aii = inv_diag[:, i]   # (n,)
             a_col = a[:, :, i]         # (n, k)
         else:
-            a_ii = a[i, i]             # scalar
+            inv_aii = inv_diag[i]      # scalar
             a_col = a[:, i][None, :]   # (1, k) broadcasts over n
         x_i = X[:, i]
-        diff = Bres[:, i] / a_ii
+        diff = Bres[:, i] * inv_aii
         if l1_is_array:
             diff = diff - L1[:, i]
         else:
             diff = diff - L1
         diff = diff + L2 * x_i
 
-        clamp = -diff > x_i
-        delta = jnp.where(clamp, -x_i, diff)
-        moved = jnp.where(clamp, x_i != 0, diff != 0) & active
-        delta = jnp.where(moved, delta, jnp.zeros_like(delta))
-
-        x_new = x_i + delta
+        # fused clamp-at-zero + no-op gating: where -diff > x_i the move is
+        # the clamp -x_i; a zero diff or clamp-at-zero yields delta == 0
+        # exactly; inactive columns are zeroed by the 0/1 multiply
+        delta = jnp.maximum(diff, -x_i) * active_f
         Bres = Bres - delta[:, None] * a_col
-        X = X.at[:, i].set(x_new)
-
-        contrib = jnp.abs(delta / (x_new + 1e-15))
-        # clamp resets tolerance to 1; a regular move accumulates.
-        tol_sweep = jnp.where(
-            moved & clamp,
-            jnp.ones_like(tol_sweep),
-            tol_sweep + jnp.where(moved & ~clamp, contrib, 0.0),
-        )
-        return X, Bres, tol_sweep
+        X = X.at[:, i].set(x_i + delta)
+        return X, Bres
 
     active0 = jnp.ones((n,), dtype=bool)
     if update_mask is not None:
@@ -114,9 +111,15 @@ def nnls_batch(
 
     def body(carry):
         X, Bres, active, sweep = carry
-        tol_sweep = jnp.zeros((n,), dtype=dtype)
+        X_prev = X
+        active_f = active.astype(dtype)
         for i in range(k):  # static unroll: sequential Gauss-Seidel recurrence
-            X, Bres, tol_sweep = coord(i, X, Bres, tol_sweep, active)
+            X, Bres = coord(i, X, Bres, active_f)
+        # sweep-end tolerance: sum_i |delta_i| / (x_new_i + eps). A clamp
+        # from x_i contributes x_i/1e-15 — astronomically above CD_TOL, the
+        # same "force another sweep" effect as the reference's tol=1 reset
+        # (reference:src/singlet.cpp:243) without per-coordinate bookkeeping.
+        tol_sweep = jnp.sum(jnp.abs(X - X_prev) / (X + 1e-15), axis=1)
         sweep = sweep + 1
         active = active & (tol_sweep / k > CD_TOL) & (sweep < max_sweeps)
         return X, Bres, active, sweep

@@ -9,10 +9,18 @@ the whole Gauss-Seidel sweep loop inside one program:
   * layout is transposed to (k, bn): a coordinate update touches one sublane
     row (1, bn) plus a rank-1 (k, bn) residual downdate — no lane-strided
     access;
+  * the coordinate body is minimal — precomputed diagonal reciprocals
+    (SMEM scalars / a VMEM plane), and the clamp/no-op/inactive gating is
+    fused into ``delta = max(diff, -x_i) * active`` (see ops/nnls.py for the
+    case analysis) — so the rank-1 downdate dominates each step;
+  * convergence is evaluated once per sweep from an X snapshot
+    (``sum_i |dx_i| / (x_i + eps)``) at full (k, bn) tile utilization
+    instead of per-coordinate (1, bn) bookkeeping;
   * the sweep loop is a fori_loop with a per-block convergence flag in SMEM
-    (predicated body, so converged blocks pay ~nothing for remaining sweeps);
-  * per-column convergence/activity masks reproduce ops/nnls.py (and thus
-    reference:src/singlet.cpp:229-250) semantics exactly.
+    (predicated body, so converged blocks pay ~nothing for remaining sweeps).
+
+Semantics match ops/nnls.py (and thus reference:src/singlet.cpp:229-250)
+per column; both backends implement identical arithmetic.
 
 Grid: one program per column block; different blocks converge independently —
 finer-grained early exit than the XLA path's global while_loop.
@@ -30,10 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from singlet_tpu.ops.nnls import CD_MAX_SWEEPS, CD_TOL
 
 
-def _nnls_kernel(scalars_ref, a_ref, Bt_ref, X0t_ref, mask_ref, Xout_ref,
-                 Bres_ref, tol_ref, active_ref, flag_ref, *, k: int,
-                 max_sweeps: int):
-    """One column block. Shapes: a (k,k); Bt/X0t/Xout (k, bn); mask (1, bn)."""
+def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
+                 Xout_ref, Bres_ref, Xprev_ref, active_ref, flag_ref, *,
+                 k: int, max_sweeps: int):
+    """One column block. Shapes: a (k,k); Bt/X0t/Xout (k, bn); mask (1, bn);
+    inv (k,) in SMEM = 1/diag(a)."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
 
@@ -45,27 +54,19 @@ def _nnls_kernel(scalars_ref, a_ref, Bt_ref, X0t_ref, mask_ref, Xout_ref,
     def sweep(_, carry):
         @pl.when(flag_ref[0] > 0)
         def _():
-            tol_ref[:, :] = jnp.zeros_like(tol_ref)
+            Xprev_ref[:, :] = Xout_ref[:, :]
+            act = active_ref[0, :]
             for i in range(k):  # static unroll: sequential Gauss-Seidel
-                active = active_ref[0, :] > 0
                 x_i = Xout_ref[i, :]
-                a_ii = a_ref[i, i]
-                diff = Bres_ref[i, :] / a_ii - L1 + L2 * x_i
-                clamp = -diff > x_i
-                # select-on-bool is unsupported by Mosaic; use logical ops
-                moved = ((clamp & (x_i != 0)) | (~clamp & (diff != 0))) & active
-                delta = jnp.where(moved, jnp.where(clamp, -x_i, diff), 0.0)
-                x_new = x_i + delta
+                diff = Bres_ref[i, :] * inv_ref[i] - L1 + L2 * x_i
+                delta = jnp.maximum(diff, -x_i) * act
                 # rank-1 residual downdate: (k, bn) -= a[:, i] (x) delta
-                Bres_ref[:, :] = Bres_ref[:, :] - a_ref[:, i][:, None] * delta[None, :]
-                Xout_ref[i, :] = x_new
-                contrib = jnp.abs(delta / (x_new + 1e-15))
-                tol_ref[0, :] = jnp.where(
-                    moved & clamp,
-                    jnp.ones_like(tol_ref[0, :]),
-                    tol_ref[0, :] + jnp.where(moved & ~clamp, contrib, 0.0),
-                )
-            still = (active_ref[0, :] > 0) & (tol_ref[0, :] / k > CD_TOL)
+                Bres_ref[:, :] = Bres_ref[:, :] - \
+                    a_ref[:, i][:, None] * delta[None, :]
+                Xout_ref[i, :] = x_i + delta
+            X = Xout_ref[:, :]
+            tol = jnp.sum(jnp.abs(X - Xprev_ref[:, :]) / (X + 1e-15), axis=0)
+            still = (act > 0) & (tol / k > CD_TOL)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
 
@@ -74,11 +75,12 @@ def _nnls_kernel(scalars_ref, a_ref, Bt_ref, X0t_ref, mask_ref, Xout_ref,
     jax.lax.fori_loop(0, max_sweeps, sweep, 0)
 
 
-def _nnls_kernel_batched(scalars_ref, at_ref, Bt_ref, X0t_ref, mask_ref,
-                         Xout_ref, Bres_ref, tol_ref, active_ref, flag_ref,
-                         *, k: int, max_sweeps: int):
+def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
+                         mask_ref, Xout_ref, Bres_ref, Xprev_ref, active_ref,
+                         flag_ref, *, k: int, max_sweeps: int):
     """Per-column Grams (masked-CV path). at: (k, k, bn) with at[:, i, c] =
-    column i of cell c's Gram; everything else as in _nnls_kernel."""
+    column i of cell c's Gram; idiag (k, bn) = reciprocals of the per-column
+    diagonals; everything else as in _nnls_kernel."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
 
@@ -90,26 +92,18 @@ def _nnls_kernel_batched(scalars_ref, at_ref, Bt_ref, X0t_ref, mask_ref,
     def sweep(_, carry):
         @pl.when(flag_ref[0] > 0)
         def _():
-            tol_ref[:, :] = jnp.zeros_like(tol_ref)
+            Xprev_ref[:, :] = Xout_ref[:, :]
+            act = active_ref[0, :]
             for i in range(k):
-                active = active_ref[0, :] > 0
                 x_i = Xout_ref[i, :]
-                a_ii = at_ref[i, i, :]                  # (bn,)
-                a_col = at_ref[:, i, :]                 # (k, bn)
-                diff = Bres_ref[i, :] / a_ii - L1 + L2 * x_i
-                clamp = -diff > x_i
-                moved = ((clamp & (x_i != 0)) | (~clamp & (diff != 0))) & active
-                delta = jnp.where(moved, jnp.where(clamp, -x_i, diff), 0.0)
-                x_new = x_i + delta
-                Bres_ref[:, :] = Bres_ref[:, :] - a_col * delta[None, :]
-                Xout_ref[i, :] = x_new
-                contrib = jnp.abs(delta / (x_new + 1e-15))
-                tol_ref[0, :] = jnp.where(
-                    moved & clamp,
-                    jnp.ones_like(tol_ref[0, :]),
-                    tol_ref[0, :] + jnp.where(moved & ~clamp, contrib, 0.0),
-                )
-            still = (active_ref[0, :] > 0) & (tol_ref[0, :] / k > CD_TOL)
+                diff = Bres_ref[i, :] * idiag_ref[i, :] - L1 + L2 * x_i
+                delta = jnp.maximum(diff, -x_i) * act
+                Bres_ref[:, :] = Bres_ref[:, :] - \
+                    at_ref[:, i, :] * delta[None, :]
+                Xout_ref[i, :] = x_i + delta
+            X = Xout_ref[:, :]
+            tol = jnp.sum(jnp.abs(X - Xprev_ref[:, :]) / (X + 1e-15), axis=0)
+            still = (act > 0) & (tol / k > CD_TOL)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
 
@@ -130,6 +124,7 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
     dtype = B.dtype
 
     at = jnp.transpose(a, (1, 2, 0))   # (k, k, n)
+    idiag = 1.0 / jnp.diagonal(a, axis1=1, axis2=2).T    # (k, n)
     Bt = B.T
     X0t = X0.astype(dtype).T
     if update_mask is None:
@@ -144,6 +139,8 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                  # idiag
             pl.BlockSpec((k, k, block), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, block), lambda i: (0, i),
@@ -157,13 +154,13 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n), dtype),
         scratch_shapes=[
-            pltpu.VMEM((k, block), dtype),
-            pltpu.VMEM((1, block), dtype),
-            pltpu.VMEM((1, block), dtype),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((k, block), dtype),      # residual copy of Bt
+            pltpu.VMEM((k, block), dtype),      # X snapshot for tolerance
+            pltpu.VMEM((1, block), dtype),      # active mask
+            pltpu.SMEM((1,), jnp.int32),        # block-active flag
         ],
         interpret=interpret,
-    )(scalars, at, Bt, X0t, mask)
+    )(scalars, idiag, at, Bt, X0t, mask)
     return out.T
 
 
@@ -181,6 +178,7 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
     assert n % block == 0, (n, block)
     dtype = B.dtype
 
+    inv_diag = 1.0 / jnp.diagonal(a)   # (k,) — SMEM scalars in the kernel
     Bt = B.T                      # (k, n) — fused into the kernel's prologue
     X0t = X0.astype(dtype).T
     if update_mask is None:
@@ -195,6 +193,7 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # inv diag
             pl.BlockSpec((k, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),                  # a
             pl.BlockSpec((k, block), lambda i: (0, i),
@@ -209,10 +208,10 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         out_shape=jax.ShapeDtypeStruct((k, n), dtype),
         scratch_shapes=[
             pltpu.VMEM((k, block), dtype),      # residual copy of Bt
-            pltpu.VMEM((1, block), dtype),      # tol accumulator
+            pltpu.VMEM((k, block), dtype),      # X snapshot for tolerance
             pltpu.VMEM((1, block), dtype),      # active mask
             pltpu.SMEM((1,), jnp.int32),        # block-active flag
         ],
         interpret=interpret,
-    )(scalars, a, Bt, X0t, mask)
+    )(scalars, inv_diag, a, Bt, X0t, mask)
     return out.T

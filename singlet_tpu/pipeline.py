@@ -36,9 +36,26 @@ def load_any(path: str):
 
 def cellxgene_pipeline(input_path: str, out: str | None = None,
                        k=None, reps: int = 1, L1: float = 0.05,
-                       verbose: int = 2, seed: int = 0, **run_kw):
-    """The pipeline: load -> preprocess -> NMF (timed) -> annotate -> save."""
+                       verbose: int = 2, seed: int = 0,
+                       metrics: str | None = None,
+                       n_devices: int | None = None,
+                       h5ad_out: str | None = None, **run_kw):
+    """The pipeline: load -> preprocess -> NMF (timed) -> annotate -> save.
+
+    ``metrics`` streams structured per-iteration JSONL events;
+    ``n_devices`` > 1 runs the fits on a device mesh; ``h5ad_out`` also
+    writes the full experiment (matrix + reductions) as AnnData.
+    """
+    import contextlib
+
     from singlet_tpu.experiment import Experiment
+    from singlet_tpu.tracing import metric_logging
+
+    mesh = None
+    if n_devices and n_devices > 1:
+        from singlet_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh(n_devices)
 
     print(f"reading {input_path}", flush=True)
     ds = load_any(input_path)
@@ -47,7 +64,10 @@ def cellxgene_pipeline(input_path: str, out: str | None = None,
     exp.preprocess_data()
     print(" running NMF...", flush=True)
     t0 = time.time()
-    exp.run_nmf(k=k, reps=reps, L1=L1, verbose=verbose, seed=seed, **run_kw)
+    ctx = metric_logging(metrics) if metrics else contextlib.nullcontext()
+    with ctx:
+        exp.run_nmf(k=k, reps=reps, L1=L1, verbose=verbose, seed=seed,
+                    mesh=mesh, **run_kw)
     runtime = time.time() - t0
     print(f" NMF took {runtime:.1f}s", flush=True)
     print(" annotating NMF model...", flush=True)
@@ -70,6 +90,9 @@ def cellxgene_pipeline(input_path: str, out: str | None = None,
         "n_cells": int(model.h.shape[1]),
     }
     Path(f"{out}.summary.json").write_text(json.dumps(summary, indent=1))
+    if h5ad_out:
+        print(f" writing {h5ad_out}", flush=True)
+        exp.to_h5ad(h5ad_out)
     return model
 
 
@@ -99,11 +122,18 @@ def main(argv=None):
     ap.add_argument("--maxit", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-v", "--verbose", type=int, default=2)
+    ap.add_argument("--metrics", default=None,
+                    help="write per-iteration JSONL metric events here")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="run fits on an N-device mesh (multi-chip)")
+    ap.add_argument("--h5ad-out", default=None,
+                    help="also write the experiment as AnnData (.h5ad)")
     args = ap.parse_args(argv)
     cellxgene_pipeline(args.input, out=args.out, k=_parse_k(args.k),
                        reps=args.reps, L1=args.L1, tol=args.tol,
                        maxit=args.maxit, seed=args.seed,
-                       verbose=args.verbose)
+                       verbose=args.verbose, metrics=args.metrics,
+                       n_devices=args.devices, h5ad_out=args.h5ad_out)
     return 0
 
 

@@ -82,3 +82,38 @@ def test_normit_matches_r_formula():
     expected = norm.ppf((np.array([4, 1, 2.5, 2.5]) - 0.5) / 3)
     np.testing.assert_allclose(out[:4], expected)
     assert np.isnan(out[4])
+
+
+def test_h5ad_round_trip(tmp_path):
+    import scipy.sparse as sp
+
+    from singlet_tpu.experiment import Experiment
+    from singlet_tpu.model import NMFModel
+
+    rng = np.random.default_rng(3)
+    A = sp.random(30, 40, density=0.3, random_state=3, dtype=np.float32,
+                  format="csc")
+    exp = Experiment(counts=A, gene_names=[f"g{i}" for i in range(30)],
+                     cell_names=[f"c{i}" for i in range(40)],
+                     meta={"cell_type": np.array(["a", "b"] * 20)})
+    exp.reductions["nmf"] = NMFModel(
+        w=rng.random((30, 3)).astype(np.float32),
+        d=np.array([3.0, 2.0, 1.0], np.float32),
+        h=rng.random((3, 40)).astype(np.float32))
+    path = str(tmp_path / "exp.h5ad")
+    exp.to_h5ad(path)
+
+    back = Experiment.from_h5ad(path)
+    assert (back.counts != A).nnz == 0
+    assert back.gene_names == exp.gene_names
+    assert back.cell_names == exp.cell_names
+    assert list(back.meta["cell_type"]) == list(exp.meta["cell_type"])
+
+    import h5py
+    with h5py.File(path) as f:
+        np.testing.assert_allclose(f["obsm"]["X_nmf"][:],
+                                   exp.reductions["nmf"].embeddings)
+        np.testing.assert_allclose(f["varm"]["nmf_loadings"][:],
+                                   exp.reductions["nmf"].loadings)
+        np.testing.assert_allclose(f["uns"]["nmf"]["d"][:],
+                                   exp.reductions["nmf"].d)
