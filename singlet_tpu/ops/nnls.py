@@ -148,7 +148,12 @@ def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         )
 
         if a.ndim == 2:
-            block = next(b for b in (1024, 512, 256, 128) if n % b == 0)
+            # largest divisor block whose ~5 (k, block) f32 VMEM tiles fit
+            # comfortably (<= ~24 MB); bigger blocks amortize the sequential
+            # coordinate chain across more lanes
+            vmem_cap = max(128, (24 * 2**20) // (5 * 4 * k))
+            block = next(b for b in (4096, 2048, 1024, 512, 256, 128)
+                         if n % b == 0 and b <= vmem_cap)
             return nnls_batch_pallas(a, B, X0, L1=L1, L2=L2,
                                      update_mask=update_mask,
                                      max_sweeps=max_sweeps, block=block)

@@ -1,26 +1,40 @@
-"""Fused Pallas TPU kernel for batched coordinate-descent NNLS.
+"""Fused Pallas TPU kernels for batched coordinate-descent NNLS.
 
 The XLA implementation in ops/nnls.py lowers each coordinate update to a
 handful of separate VPU ops over HBM-resident (n, k) arrays; with up to
 100 sweeps x k coordinates the op-dispatch latency dominates the entire ALS
-iteration. This kernel keeps a block of columns fully VMEM-resident and runs
-the whole Gauss-Seidel sweep loop inside one program:
+iteration. These kernels keep a block of columns fully VMEM-resident and run
+the whole Gauss-Seidel sweep loop inside one program.
+
+Shared-Gram kernel (`nnls_batch_pallas`) — the unmasked half-update path:
 
   * layout is transposed to (k, bn): a coordinate update touches one sublane
-    row (1, bn) plus a rank-1 (k, bn) residual downdate — no lane-strided
-    access;
-  * the coordinate body is minimal — precomputed diagonal reciprocals
-    (SMEM scalars / a VMEM plane), and the clamp/no-op/inactive gating is
-    fused into ``delta = max(diff, -x_i) * active`` (see ops/nnls.py for the
-    case analysis) — so the rank-1 downdate dominates each step;
-  * convergence is evaluated once per sweep from an X snapshot
-    (``sum_i |dx_i| / (x_i + eps)``) at full (k, bn) tile utilization
-    instead of per-coordinate (1, bn) bookkeeping;
+    row (1, bn); no lane-strided access;
+  * instead of maintaining the residual incrementally (k rank-1 VPU downdates
+    per sweep — the reference's formulation, reference:src/singlet.cpp:244),
+    each group of g coordinates *recomputes* its residual rows from the
+    running update Delta = X - X0:
+
+        Bg = B[grp, :] - a[grp, :] @ Delta        (MXU, full-k contraction)
+
+    followed by scalar in-group corrections for deltas produced earlier in
+    the same group. Same FLOPs, but ~90% of them land on the MXU (at
+    Precision.HIGHEST — 6-pass bf16 = full f32 accuracy; the CD recurrence
+    is numerically sensitive, bf16 single-pass diverges) instead of the VPU,
+    and the per-sweep residual is recomputed fresh (no rounding accumulation
+    across 100 sweeps);
+  * in-group deltas live as SSA values (vector registers), with tree-summed
+    correction terms, not VMEM scratch rows;
+  * the sweep tolerance is accumulated from the per-coordinate deltas
+    (``sum_i |dx_i| / (x_i + eps)``) — ops that pipeline with the coordinate
+    chain — instead of an end-of-sweep (k, bn) snapshot pass;
   * the sweep loop is a fori_loop with a per-block convergence flag in SMEM
     (predicated body, so converged blocks pay ~nothing for remaining sweeps).
 
 Semantics match ops/nnls.py (and thus reference:src/singlet.cpp:229-250)
-per column; both backends implement identical arithmetic.
+per column: identical update rule, clamp handling, and convergence test;
+the only divergence is float reassociation in the residual computation
+(validated at ~1e-6 against the XLA path and the f64 oracle in tests).
 
 Grid: one program per column block; different blocks converge independently —
 finer-grained early exit than the XLA path's global while_loop.
@@ -38,34 +52,59 @@ from jax.experimental.pallas import tpu as pltpu
 from singlet_tpu.ops.nnls import CD_MAX_SWEEPS, CD_TOL
 
 
+def _tree_sum(terms):
+    """Balanced-tree sum: log2 dependency depth instead of a serial chain."""
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
-                 Xout_ref, Bres_ref, Xprev_ref, active_ref, flag_ref, *,
-                 k: int, max_sweeps: int):
+                 Xout_ref, Delta_ref, Bg_ref, active_ref, flag_ref, *,
+                 k: int, g: int, max_sweeps: int):
     """One column block. Shapes: a (k,k); Bt/X0t/Xout (k, bn); mask (1, bn);
-    inv (k,) in SMEM = 1/diag(a)."""
+    inv (k,) in SMEM = 1/diag(a); Delta (k, bn) = X - X0 running update."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
 
     Xout_ref[:, :] = X0t_ref[:, :]
-    Bres_ref[:, :] = Bt_ref[:, :]       # private residual copy
+    Delta_ref[:, :] = jnp.zeros_like(Delta_ref)
     active_ref[:, :] = mask_ref[:, :]
     flag_ref[0] = jnp.int32(1)  # block has active columns
 
     def sweep(_, carry):
         @pl.when(flag_ref[0] > 0)
         def _():
-            Xprev_ref[:, :] = Xout_ref[:, :]
             act = active_ref[0, :]
-            for i in range(k):  # static unroll: sequential Gauss-Seidel
-                x_i = Xout_ref[i, :]
-                diff = Bres_ref[i, :] * inv_ref[i] - L1 + L2 * x_i
-                delta = jnp.maximum(diff, -x_i) * act
-                # rank-1 residual downdate: (k, bn) -= a[:, i] (x) delta
-                Bres_ref[:, :] = Bres_ref[:, :] - \
-                    a_ref[:, i][:, None] * delta[None, :]
-                Xout_ref[i, :] = x_i + delta
-            X = Xout_ref[:, :]
-            tol = jnp.sum(jnp.abs(X - Xprev_ref[:, :]) / (X + 1e-15), axis=0)
+            tol_terms = []
+            for c0 in range(0, k, g):
+                gsz = min(g, k - c0)
+                # group residual rows, recomputed on the MXU:
+                # Bg = B[grp] - a[grp, :] @ (X - X0)
+                Bg_ref[:gsz, :] = Bt_ref[c0:c0 + gsz, :] - jnp.dot(
+                    a_ref[c0:c0 + gsz, :], Delta_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                deltas = []
+                for t in range(gsz):  # static unroll: sequential Gauss-Seidel
+                    i = c0 + t
+                    x_i = Xout_ref[i, :]
+                    b_i = Bg_ref[t, :]
+                    if t > 0:  # corrections from this group's earlier deltas
+                        b_i = b_i - _tree_sum(
+                            [a_ref[i, c0 + s] * deltas[s] for s in range(t)])
+                    diff = b_i * inv_ref[i] - L1 + L2 * x_i
+                    # fused clamp-at-zero + no-op gating (see ops/nnls.py)
+                    delta = jnp.maximum(diff, -x_i) * act
+                    deltas.append(delta)
+                    x_new = x_i + delta
+                    Xout_ref[i, :] = x_new
+                    Delta_ref[i, :] = Delta_ref[i, :] + delta
+                    tol_terms.append(jnp.abs(delta) / (x_new + 1e-15))
+            tol = _tree_sum(tol_terms)
             still = (act > 0) & (tol / k > CD_TOL)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
@@ -80,7 +119,8 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
                          flag_ref, *, k: int, max_sweeps: int):
     """Per-column Grams (masked-CV path). at: (k, k, bn) with at[:, i, c] =
     column i of cell c's Gram; idiag (k, bn) = reciprocals of the per-column
-    diagonals; everything else as in _nnls_kernel."""
+    diagonals. Per-lane Grams leave no shared matmul to hoist onto the MXU,
+    so this kernel keeps the incremental rank-1 residual downdate."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
 
@@ -165,18 +205,20 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_sweeps", "block", "interpret"))
+                   static_argnames=("max_sweeps", "block", "g", "interpret"))
 def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
-                      max_sweeps: int = CD_MAX_SWEEPS, block: int = 1024,
-                      interpret: bool = False):
+                      max_sweeps: int = CD_MAX_SWEEPS, block: int = 4096,
+                      g: int = 16, interpret: bool = False):
     """Pallas-fused equivalent of ops.nnls.nnls_batch for a shared (k,k) Gram.
 
-    a: (k, k); B, X0: (n, k) with n a multiple of `block`. Returns X (n, k).
+    a: (k, k); B, X0: (n, k) with n a multiple of `block`; `g` is the
+    coordinate group size for the MXU-recomputed residual. Returns X (n, k).
     """
     n, k = B.shape
     assert a.ndim == 2, "pallas path requires a shared Gram"
     assert n % block == 0, (n, block)
     dtype = B.dtype
+    g = max(1, min(g, k))
 
     inv_diag = 1.0 / jnp.diagonal(a)   # (k,) — SMEM scalars in the kernel
     Bt = B.T                      # (k, n) — fused into the kernel's prologue
@@ -189,7 +231,7 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
 
     grid = (n // block,)
     out = pl.pallas_call(
-        functools.partial(_nnls_kernel, k=k, max_sweeps=max_sweeps),
+        functools.partial(_nnls_kernel, k=k, g=g, max_sweeps=max_sweeps),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # scalars
@@ -207,8 +249,8 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n), dtype),
         scratch_shapes=[
-            pltpu.VMEM((k, block), dtype),      # residual copy of Bt
-            pltpu.VMEM((k, block), dtype),      # X snapshot for tolerance
+            pltpu.VMEM((k, block), dtype),      # Delta = X - X0
+            pltpu.VMEM((g, block), dtype),      # group residual rows
             pltpu.VMEM((1, block), dtype),      # active mask
             pltpu.SMEM((1,), jnp.int32),        # block-active flag
         ],
