@@ -148,18 +148,22 @@ def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         )
 
         if a.ndim == 2:
-            # largest divisor block whose ~5 (k, block) f32 VMEM tiles fit
-            # comfortably (<= ~24 MB); bigger blocks amortize the sequential
-            # coordinate chain across more lanes
-            vmem_cap = max(128, (24 * 2**20) // (5 * 4 * k))
+            # scoped VMEM is 16 MB and pallas double-buffers grid inputs:
+            # budget ~9 (k, block) f32 tiles (3 inputs x2 + out x2 + scratch)
+            # under ~14 MB; bigger blocks amortize the sequential coordinate
+            # chain across more lanes
+            vmem_cap = max(128, (14 * 2**20) // (9 * 4 * k))
             block = next(b for b in (4096, 2048, 1024, 512, 256, 128)
                          if n % b == 0 and b <= vmem_cap)
             return nnls_batch_pallas(a, B, X0, L1=L1, L2=L2,
                                      update_mask=update_mask,
                                      max_sweeps=max_sweeps, block=block)
-        # per-column Grams: VMEM holds (k, k, block) — keep blocks modest
-        cap = 256 if k <= 64 else 128
-        block = next(b for b in (cap, 128) if n % b == 0)
+        # per-column Grams: the (k, k, block) tile batch is double-buffered
+        # by the grid pipeline, so keep one copy under ~6 MB of the 16 MB
+        # scoped VMEM; larger blocks amortize the sequential sweep chain
+        vmem_cap = max(128, (6 * 2**20) // (k * k * 4))
+        block = next(b for b in (1024, 512, 256, 128)
+                     if n % b == 0 and b <= vmem_cap)
         return nnls_batch_pallas_batched_a(a, B, X0, L1=L1, L2=L2,
                                            update_mask=update_mask,
                                            max_sweeps=max_sweeps, block=block)

@@ -115,12 +115,14 @@ def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
 
 
 def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
-                         mask_ref, Xout_ref, Bres_ref, Xprev_ref, active_ref,
+                         mask_ref, Xout_ref, Bres_ref, active_ref,
                          flag_ref, *, k: int, max_sweeps: int):
-    """Per-column Grams (masked-CV path). at: (k, k, bn) with at[:, i, c] =
-    column i of cell c's Gram; idiag (k, bn) = reciprocals of the per-column
-    diagonals. Per-lane Grams leave no shared matmul to hoist onto the MXU,
-    so this kernel keeps the incremental rank-1 residual downdate."""
+    """Per-column Grams (masked-CV path). at: (k, k, bn) with at[i] the
+    contiguous (k, bn) coordinate tile at[i, j, c] = a_c[j, i] (leading-axis
+    indexing — a middle-axis slice would be sublane-strided, ~2x slower);
+    idiag (k, bn) = reciprocals of the per-column diagonals. Per-lane Grams
+    leave no shared matmul to hoist onto the MXU, so this kernel keeps the
+    incremental rank-1 residual downdate."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
 
@@ -132,17 +134,18 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
     def sweep(_, carry):
         @pl.when(flag_ref[0] > 0)
         def _():
-            Xprev_ref[:, :] = Xout_ref[:, :]
             act = active_ref[0, :]
+            tol_terms = []
             for i in range(k):
                 x_i = Xout_ref[i, :]
                 diff = Bres_ref[i, :] * idiag_ref[i, :] - L1 + L2 * x_i
                 delta = jnp.maximum(diff, -x_i) * act
                 Bres_ref[:, :] = Bres_ref[:, :] - \
-                    at_ref[:, i, :] * delta[None, :]
-                Xout_ref[i, :] = x_i + delta
-            X = Xout_ref[:, :]
-            tol = jnp.sum(jnp.abs(X - Xprev_ref[:, :]) / (X + 1e-15), axis=0)
+                    at_ref[i, :, :] * delta[None, :]
+                x_new = x_i + delta
+                Xout_ref[i, :] = x_new
+                tol_terms.append(jnp.abs(delta) / (x_new + 1e-15))
+            tol = _tree_sum(tol_terms)
             still = (act > 0) & (tol / k > CD_TOL)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
@@ -163,7 +166,9 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
     assert n % block == 0, (n, block)
     dtype = B.dtype
 
-    at = jnp.transpose(a, (1, 2, 0))   # (k, k, n)
+    # leading-axis coordinate tiles: at[i, j, c] = a[c, j, i] (by Gram
+    # symmetry = a[c, i, j]); at[i] is then contiguous in the kernel
+    at = jnp.transpose(a, (2, 1, 0))   # (k, k, n)
     idiag = 1.0 / jnp.diagonal(a, axis1=1, axis2=2).T    # (k, n)
     Bt = B.T
     X0t = X0.astype(dtype).T
@@ -195,7 +200,6 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         out_shape=jax.ShapeDtypeStruct((k, n), dtype),
         scratch_shapes=[
             pltpu.VMEM((k, block), dtype),      # residual copy of Bt
-            pltpu.VMEM((k, block), dtype),      # X snapshot for tolerance
             pltpu.VMEM((1, block), dtype),      # active mask
             pltpu.SMEM((1,), jnp.int32),        # block-active flag
         ],

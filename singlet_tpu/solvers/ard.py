@@ -72,6 +72,7 @@ def ard_nmf_fit(
     genes_pad, cells_pad = Ap.rows_pad, Ap.cols_pad
     cell_block = Ap.block
     gene_block = Atp.block
+    sp = seed_pair(mask_seed)
 
     if w_init is None:
         W = init_w(k, genes_pad, Ap.rows_true, init_seed)
@@ -80,7 +81,6 @@ def ard_nmf_fit(
         W = W.at[: w_init.shape[0]].set(jnp.asarray(w_init, jnp.float32))
     H = jnp.zeros((cells_pad, k), jnp.float32)
     d = jnp.ones((k,), jnp.float32)
-    sp = seed_pair(mask_seed)
 
     test_mse_t: List[float] = []
     iter_t: List[int] = []

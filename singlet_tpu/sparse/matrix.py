@@ -119,6 +119,12 @@ class DenseMatrix:
 
         True = held-out. Padding rows/cols are never masked (False) so they
         contribute nothing to Gram corrections or test counts.
+
+        Recomputed from the counter RNG at every access — materializing the
+        full mask in HBM was measured *slower* than recomputation (XLA fuses
+        the RNG into the consuming matmuls; a cached plane forces an HBM
+        round trip), mirroring the reference's never-materialize design
+        (reference:src/singlet.cpp:450,485).
         """
         rows_pad = self.data.shape[0]
         col_ids = col_start + jnp.arange(col_block)
