@@ -21,6 +21,8 @@ Reference parity map: see SURVEY.md at the repo root. Citations of the form
 
 from singlet_tpu.checkpoint import CheckpointManager
 from singlet_tpu.config import NMFConfig
+from singlet_tpu.data import CellDataset, load_pbmc3k, read_10x_mtx, read_h5ad
+from singlet_tpu.experiment import Experiment
 from singlet_tpu.model import NMFModel
 from singlet_tpu.tracing import MetricLogger, metric_logging, profile
 from singlet_tpu.solvers.als import nmf_fit
@@ -38,6 +40,11 @@ from singlet_tpu.solvers.project import project_model
 __version__ = "0.1.0"
 
 __all__ = [
+    "CellDataset",
+    "Experiment",
+    "load_pbmc3k",
+    "read_10x_mtx",
+    "read_h5ad",
     "CheckpointManager",
     "MetricLogger",
     "metric_logging",
