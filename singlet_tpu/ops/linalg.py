@@ -46,15 +46,21 @@ def scale_columns(X: jnp.ndarray):
     return X / d[None, :], d
 
 
-def cor_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def cor_distance(x: jnp.ndarray, y: jnp.ndarray,
+                 n_true=None) -> jnp.ndarray:
     """1 - Pearson correlation between two equally-shaped matrices.
 
     The ALS convergence metric (reference:src/singlet.cpp:184-197): computed
     over all entries of consecutive-iteration W matrices.
+
+    ``n_true`` (traced scalar) overrides the element count when x/y carry
+    rank-bucketing padding columns (solvers/ard.py): the padded columns are
+    exactly zero in both matrices, so every sum below is unaffected — only
+    the Pearson denominator's n must reflect the true factor count.
     """
     xf = x.ravel()
     yf = y.ravel()
-    n = xf.shape[0]
+    n = xf.shape[0] if n_true is None else n_true
     sum_x = jnp.sum(xf)
     sum_y = jnp.sum(yf)
     sum_xy = jnp.dot(xf, yf, precision=MM_PRECISION)

@@ -183,14 +183,59 @@ def als_step(A: DenseMatrix, At: DenseMatrix, W, H, L1_h, L1_w, L2_h, L2_w,
 
 @partial(jax.jit, static_argnames=("inv_density", "cell_block", "gene_block"))
 def als_step_masked(A: DenseMatrix, At: DenseMatrix, W, H, seed, L1, L2,
-                    inv_density: int, cell_block: int, gene_block: int):
-    """One masked ALS iteration (reference:src/singlet.cpp:1107-1114)."""
+                    inv_density: int, cell_block: int, gene_block: int,
+                    k_true=None):
+    """One masked ALS iteration (reference:src/singlet.cpp:1107-1114).
+
+    ``k_true`` (traced int scalar) supports rank bucketing: W/H may carry
+    zero-padded factor columns beyond k_true (they provably stay exactly
+    zero through the CD-NNLS updates — zero Gram rows/RHS plus the
+    clamp-at-zero — so only the Pearson tol's element count needs it).
+    """
     H = _half_update_masked(A, W, H, seed, L1, L2, inv_density, cell_block)
     H, d = scale_columns(H)
     W_new = _half_update_masked(At, H, W, seed, L1, L2, inv_density, gene_block)
     W_new, d = scale_columns(W_new)
-    tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true])
+    n_true = None if k_true is None else At.cols_true * k_true
+    tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true], n_true)
     return W_new, H, d, tol
+
+
+# --------------------------------------------------------------------------
+# Device-fused fit loop
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("maxit",))
+def _fit_loop_device(A: DenseMatrix, At: DenseMatrix, W, H, L1_h, L1_w,
+                     L2_h, L2_w, link_h, link_w, tol_target, maxit: int):
+    """The whole ALS fit as ONE device program (lax.while_loop over
+    als_step), returning (W, H, d, n_iter, tol_trace[maxit]).
+
+    Rationale: the host-side loop costs a blocking device->host sync per
+    iteration for the tol check; over a remote/tunneled device that RTT
+    (~hundreds of ms) dwarfs the iteration's compute. One fused program
+    syncs once per *fit*. Identical per-iteration semantics — the tol test
+    runs every iteration, on device (reference:src/singlet.cpp:647-664).
+    """
+    k = W.shape[1]
+
+    def cond(st):
+        it, _, _, _, tolv, _ = st
+        return (it < maxit) & (tolv > tol_target)
+
+    def body(st):
+        it, W, H, d, _, tols = st
+        W, H, d, tolv = als_step(A, At, W, H, L1_h, L1_w, L2_h, L2_w,
+                                 link_h, link_w)
+        tols = tols.at[it].set(tolv)
+        return (it + 1, W, H, d, tolv, tols)
+
+    # tol starts at 1.0 exactly like the host loop, so a tol_target >= 1
+    # yields zero iterations in both paths
+    st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
+           jnp.float32(1.0), jnp.full((maxit,), jnp.nan, jnp.float32))
+    it, W, H, d, _, tols = jax.lax.while_loop(cond, body, st0)
+    return W, H, d, it, tols
 
 
 # --------------------------------------------------------------------------
@@ -300,6 +345,34 @@ def nmf_fit(
                genes=int(Ap.rows_true), cells=int(Ap.cols_true),
                maxit=maxit, resumed_at=start_it or None)
     tol_ = tol_trace[-1] if tol_trace else 1.0
+
+    if mgr is None:
+        # fused device loop: one host sync per fit instead of one per
+        # iteration (the checkpointing path needs per-iteration host control)
+        t0 = time.perf_counter()
+        W, H, d, n_it, tols = _fit_loop_device(
+            Ap, Atp, W, H, jnp.float32(L1_h), jnp.float32(L1_w),
+            jnp.float32(L2_h), jnp.float32(L2_w), link_h, link_w,
+            jnp.float32(tol), maxit)
+        n = int(n_it)
+        total_ms = (time.perf_counter() - t0) * 1e3
+        tol_trace = [float(t) for t in np.asarray(tols[:n])]
+        for i, t in enumerate(tol_trace):
+            logger.log("iteration", fit=fit_id, iter=i + 1, tol=t,
+                       ms=round(total_ms / max(n, 1), 3))
+            if verbose:
+                print(f"{i + 1:4d} | {t:8.2e}")
+        tol_ = tol_trace[-1] if tol_trace else 1.0
+        logger.log("fit_end", fit=fit_id, n_iter=n, tol=tol_)
+        return FitResult(
+            w=np.asarray(W[: Ap.rows_true]),
+            d=np.asarray(d),
+            h=np.asarray(H[: Ap.cols_true]).T,
+            tol=tol_,
+            n_iter=n,
+            tol_trace=tol_trace,
+        )
+
     for it in range(start_it, maxit):
         if tol_ <= tol:
             break

@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +29,65 @@ from singlet_tpu.solvers.als import (
 )
 from singlet_tpu.sparse.matrix import DenseMatrix
 from singlet_tpu.utils import vprint
+
+
+@partial(jax.jit, static_argnames=("inv_density", "cell_block", "gene_block",
+                                   "maxit", "trace_every", "max_traces"))
+def _ard_loop_device(Ap, Atp, W, H, sp, L1, L2, inv_density: int,
+                     cell_block: int, gene_block: int, k_true,
+                     tol_target, overfit_threshold, maxit: int,
+                     trace_every: int, max_traces: int):
+    """The whole masked fit as ONE device program: lax.while_loop over
+    als_step_masked with the trace/overfit-early-stop policy of
+    ``c_ard_nmf_base`` (reference:src/singlet.cpp:1106-1141) evaluated on
+    device. One host sync per fit instead of one per iteration — over a
+    remote device the per-iteration sync RTT dominates the fit wall-clock.
+
+    Returns (W, H, d, n_iter, stopped_early, n_traces, test_mse[max_traces],
+    trace_iters[max_traces], scores[max_traces], tols[maxit]).
+    """
+    nanf = jnp.float32(jnp.nan)
+
+    def cond(st):
+        it, _, _, _, tolv, stopped = st[:6]
+        return (~stopped) & (it < maxit) & (tolv > tol_target)
+
+    def body(st):
+        (it, W, H, d, _, stopped, min_err, n_tr, tmse, t_iters, scores,
+         tols) = st
+        W, H, d, tolv = als_step_masked(Ap, Atp, W, H, sp, L1, L2,
+                                        inv_density, cell_block, gene_block,
+                                        k_true)
+        tols = tols.at[it].set(tolv)
+
+        def with_trace(args):
+            min_err, n_tr, tmse, t_iters, scores, stopped = args
+            err = mse_test(Ap, W, d, H, sp, inv_density, cell_block)
+            min_err = jnp.minimum(min_err, err)
+            score = (err - min_err) / (err + min_err)
+            tmse = tmse.at[n_tr].set(err)
+            t_iters = t_iters.at[n_tr].set(it)
+            scores = scores.at[n_tr].set(score)
+            return (min_err, n_tr + 1, tmse, t_iters, scores,
+                    score > overfit_threshold)
+
+        traced = (it % trace_every) == 0
+        min_err, n_tr, tmse, t_iters, scores, stopped = jax.lax.cond(
+            traced, with_trace, lambda a: a,
+            (min_err, n_tr, tmse, t_iters, scores, stopped))
+        it = jnp.where(stopped, it, it + 1)   # reference: break before it+=1
+        return (it, W, H, d, tolv, stopped, min_err, n_tr, tmse, t_iters,
+                scores, tols)
+
+    st0 = (jnp.int32(0), W, H, jnp.ones((W.shape[1],), W.dtype),
+           jnp.float32(1.0), jnp.bool_(False), jnp.float32(jnp.inf),
+           jnp.int32(0), jnp.full((max_traces,), nanf),
+           jnp.full((max_traces,), -1, jnp.int32),
+           jnp.full((max_traces,), nanf),
+           jnp.full((maxit,), nanf))
+    (it, W, H, d, _, stopped, _, n_tr, tmse, t_iters, scores,
+     tols) = jax.lax.while_loop(cond, body, st0)
+    return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
 
 
 @dataclasses.dataclass
@@ -56,6 +117,7 @@ def ard_nmf_fit(
     verbose: int = 0,
     init_seed: int = 0,
     checkpoint: Optional[Union[str, CheckpointManager]] = None,
+    k_bucket: int = 8,
 ) -> ArdFitResult:
     """One masked fit at fixed rank k, returning factor matrices + traces.
 
@@ -63,6 +125,15 @@ def ard_nmf_fit(
     follow reference:src/singlet.cpp:1106-1141 exactly; the returned trace
     vectors feed the ``cross_validate_nmf_data`` frame
     (reference:R/ard_nmf.R:118).
+
+    ``k_bucket`` rounds the *compiled* factor count up to a multiple so the
+    rank searches of ard_nmf / cross_validate_nmf (dozens of distinct k)
+    share a handful of XLA programs instead of compiling one per rank.
+    Padded factor columns start at exactly zero and stay exactly zero
+    through every update (zero Gram row + zero RHS + clamp-at-zero), so
+    results are identical to an unpadded fit up to float reassociation;
+    only the Pearson tol's element count is corrected (k_true plumbed into
+    the step). Set 0/1 to disable.
     """
     if At is not None:
         Ap, Atp = A, At        # caller-built providers (dense or ELL)
@@ -74,13 +145,16 @@ def ard_nmf_fit(
     gene_block = Atp.block
     sp = seed_pair(mask_seed)
 
+    k_pad = k if k_bucket <= 1 else ((k + k_bucket - 1) // k_bucket) * k_bucket
+    W = jnp.zeros((genes_pad, k_pad), jnp.float32)
     if w_init is None:
-        W = init_w(k, genes_pad, Ap.rows_true, init_seed)
+        W = W.at[:, :k].set(init_w(k, genes_pad, Ap.rows_true, init_seed))
     else:
-        W = jnp.zeros((genes_pad, k), jnp.float32)
-        W = W.at[: w_init.shape[0]].set(jnp.asarray(w_init, jnp.float32))
-    H = jnp.zeros((cells_pad, k), jnp.float32)
-    d = jnp.ones((k,), jnp.float32)
+        w_init = jnp.asarray(w_init, jnp.float32)
+        W = W.at[: w_init.shape[0], :k].set(w_init)
+    H = jnp.zeros((cells_pad, k_pad), jnp.float32)
+    d = jnp.ones((k_pad,), jnp.float32)
+    k_true = jnp.int32(k)
 
     test_mse_t: List[float] = []
     iter_t: List[int] = []
@@ -89,7 +163,7 @@ def ard_nmf_fit(
 
     mgr = resolve_manager(checkpoint)
     ckpt_config = CheckpointManager.config_of(
-        algo="ard", k=int(k), genes_pad=int(genes_pad),
+        algo="ard", k=int(k), k_pad=int(k_pad), genes_pad=int(genes_pad),
         cells_pad=int(cells_pad), L1=L1, L2=L2, mask_seed=int(mask_seed),
         inv_density=int(inv_density), trace=int(trace_test_mse),
     )
@@ -115,10 +189,49 @@ def ard_nmf_fit(
                genes=int(Ap.rows_true), cells=int(Ap.cols_true),
                inv_density=int(inv_density), maxit=maxit,
                resumed_at=it or None)
-    while it < maxit and tol_ > tol:
+
+    if mgr is None:
+        # fused device loop: the rank searches run dozens of these fits, and
+        # a per-iteration host sync (tol check) costs a full device RTT each
+        t0 = time.perf_counter()
+        max_traces = (maxit + trace_test_mse - 1) // trace_test_mse + 1
+        (W, H, d, it_j, stopped_j, n_tr_j, tmse_a, titer_a, score_a,
+         tols_a) = _ard_loop_device(
+            Ap, Atp, W, H, sp, jnp.float32(L1), jnp.float32(L2),
+            int(inv_density), cell_block, gene_block, k_true,
+            jnp.float32(tol), jnp.float32(overfit_threshold), int(maxit),
+            int(trace_test_mse), int(max_traces))
+        it = int(it_j)
+        stopped_early = bool(stopped_j)
+        n_tr = int(n_tr_j)
+        total_ms = (time.perf_counter() - t0) * 1e3
+        tols_np = np.asarray(tols_a)
+        test_mse_t = [float(v) for v in np.asarray(tmse_a[:n_tr])]
+        iter_t = [int(v) for v in np.asarray(titer_a[:n_tr])]
+        tol_t = [float(tols_np[i]) for i in iter_t]
+        score_t = [float(v) for v in np.asarray(score_a[:n_tr])]
+        tol_ = float(tols_np[it - 1]) if it > 0 else tol_
+        n_steps = it if not stopped_early else it + 1
+        per_ms = round(total_ms / max(n_steps, 1), 3)
+        ti = set(iter_t)
+        for i in range(n_steps):
+            if i in ti:
+                j = iter_t.index(i)
+                logger.log("iteration", fit=fit_id, iter=i + 1,
+                           tol=float(tols_np[i]), test_mse=test_mse_t[j],
+                           overfit_score=score_t[j], ms=per_ms)
+                vprint(verbose, 3,
+                       f"{i + 1:4d} | {tols_np[i]:8.2e} | {score_t[j]:8.2e}")
+            else:
+                logger.log("iteration", fit=fit_id, iter=i + 1,
+                           tol=float(tols_np[i]), ms=per_ms)
+                vprint(verbose, 3, f"{i + 1:4d} | {tols_np[i]:8.2e} |        -")
+
+    while mgr is not None and it < maxit and tol_ > tol:
         t0 = time.perf_counter()
         W, H, d, tol_j = als_step_masked(
-            Ap, Atp, W, H, sp, L1, L2, inv_density, cell_block, gene_block
+            Ap, Atp, W, H, sp, L1, L2, inv_density, cell_block, gene_block,
+            k_true,
         )
         tol_ = float(tol_j)
         ms = round((time.perf_counter() - t0) * 1e3, 3)
@@ -159,9 +272,9 @@ def ard_nmf_fit(
                test_mse=test_mse_t[-1] if test_mse_t else None,
                stopped_early=stopped_early)
     return ArdFitResult(
-        w=np.asarray(W[: Ap.rows_true]),
-        d=np.asarray(d),
-        h=np.asarray(H[: Ap.cols_true]).T,
+        w=np.asarray(W[: Ap.rows_true, :k]),
+        d=np.asarray(d[:k]),
+        h=np.asarray(H[: Ap.cols_true, :k]).T,
         test_mse=test_mse_t,
         iter=iter_t,
         tol=tol_t,

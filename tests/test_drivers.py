@@ -142,3 +142,60 @@ def test_projection_roundtrip(rng):
     # transposed w accepted
     h2, d2 = project_model(A, W.T, L1=0.0)
     np.testing.assert_allclose(h, h2, rtol=1e-5, atol=1e-6)
+
+
+def test_rank_bucketing_is_exact(rng):
+    """k_bucket pads factor columns that must stay exactly zero: a bucketed
+    fit equals the unbucketed fit to float-reassociation noise, while ranks
+    2..8 share one compiled program (the point of the bucketing)."""
+    from singlet_tpu.solvers.ard import ard_nmf_fit
+
+    W = rng.random((60, 5)).astype(np.float32)
+    H = rng.random((5, 72)).astype(np.float32)
+    A = (W @ H).astype(np.float32)
+    A[rng.random(A.shape) < 0.4] = 0
+    r_pad = ard_nmf_fit(A, 5, maxit=6, k_bucket=8)
+    r_ref = ard_nmf_fit(A, 5, maxit=6, k_bucket=1)
+    assert r_pad.w.shape == (60, 5) and r_pad.d.shape == (5,)
+    np.testing.assert_allclose(r_pad.w, r_ref.w, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(r_pad.tol, r_ref.tol, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(r_pad.test_mse, r_ref.test_mse,
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_fused_ard_loop_matches_host_loop(rng, tmp_path):
+    """The device-fused masked fit (one sync per fit) must reproduce the
+    host-side per-iteration loop (exercised via the checkpointing path)
+    exactly: same traces, same early-stop iteration."""
+    from singlet_tpu.checkpoint import CheckpointManager
+    from singlet_tpu.solvers.ard import ard_nmf_fit
+
+    W = rng.random((60, 4)).astype(np.float32)
+    H = rng.random((4, 72)).astype(np.float32)
+    A = (W @ H).astype(np.float32)
+    A[rng.random(A.shape) < 0.4] = 0
+    fused = ard_nmf_fit(A, 4, maxit=9, trace_test_mse=2)
+    hostp = ard_nmf_fit(A, 4, maxit=9, trace_test_mse=2,
+                        checkpoint=CheckpointManager(str(tmp_path), every=10**6))
+    assert fused.iter == hostp.iter
+    np.testing.assert_allclose(fused.test_mse, hostp.test_mse,
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(fused.tol, hostp.tol, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(fused.w, hostp.w, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_plain_loop_matches_host_loop(rng, tmp_path):
+    from singlet_tpu.checkpoint import CheckpointManager
+    from singlet_tpu.solvers.als import nmf_fit
+
+    W = rng.random((50, 3)).astype(np.float32)
+    H = rng.random((3, 64)).astype(np.float32)
+    A = (W @ H).astype(np.float32)
+    w0 = rng.random((50, 3)).astype(np.float32)
+    fused = nmf_fit(A, 3, w_init=w0, tol=1e-6, maxit=7)
+    hostp = nmf_fit(A, 3, w_init=w0, tol=1e-6, maxit=7,
+                    checkpoint=CheckpointManager(str(tmp_path), every=10**6))
+    assert fused.n_iter == hostp.n_iter
+    np.testing.assert_allclose(fused.tol_trace, hostp.tol_trace,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(fused.w, hostp.w, rtol=1e-4, atol=1e-6)
