@@ -61,31 +61,51 @@ def pick_block(n_true: int, target: int, quantum: int = 256) -> int:
     return target
 
 
-def make_dense_providers(A: np.ndarray, cell_block: int = 2048,
+def make_dense_providers(A, cell_block: int = 2048,
                          gene_block: int = 4096,
                          dtype=jnp.float32) -> Tuple[DenseMatrix, DenseMatrix]:
-    """Build (A, At) dense providers from a genes x cells array, padded so
-    each provider's column axis divides its masked-update block size."""
-    A = np.asarray(A)
+    """Build (A, At) dense providers from a genes x cells array (numpy or
+    scipy sparse), padded so each provider's column axis divides its
+    masked-update block size.
+
+    scipy-sparse inputs ship only their COO triplets to the device and
+    densify there with one scatter — on a tunneled/remote device the dense
+    host->device transfer is the single largest cost of a whole fit (scRNA
+    matrices are ~95% zeros), and the transpose copy is free on device.
+    """
+    try:
+        import scipy.sparse as _sp
+        is_sparse = _sp.issparse(A)
+    except ImportError:
+        is_sparse = False
     genes, cells = A.shape
     cb = pick_block(cells, cell_block)
     gb = pick_block(genes, gene_block)
     cells_pad = _round_up(cells, cb)
     genes_pad = _round_up(genes, gb)
-    buf = np.zeros((genes_pad, cells_pad), dtype=np.float32)
-    buf[:genes, :cells] = A
-    nonempty_cells = np.zeros((cells_pad,), bool)
-    nonempty_cells[:cells] = (np.abs(A) > 0).any(axis=0)
-    nonempty_genes = np.zeros((genes_pad,), bool)
-    nonempty_genes[:genes] = (np.abs(A) > 0).any(axis=1)
+
+    if is_sparse:
+        coo = A.tocoo()
+        data = jnp.zeros((genes_pad, cells_pad), dtype)
+        data = data.at[jnp.asarray(coo.row, jnp.int32),
+                       jnp.asarray(coo.col, jnp.int32)].add(
+            jnp.asarray(coo.data, dtype))
+    else:
+        A = np.asarray(A)
+        buf = np.zeros((genes_pad, cells_pad), dtype=np.float32)
+        buf[:genes, :cells] = A
+        data = jnp.asarray(buf, dtype=dtype)
+
+    nonempty_cells = jnp.any(data != 0, axis=0)
+    nonempty_genes = jnp.any(data != 0, axis=1)
     Ap = DenseMatrix(
-        data=jnp.asarray(buf, dtype=dtype),
-        nonempty=jnp.asarray(nonempty_cells),
+        data=data,
+        nonempty=nonempty_cells,
         rows_true=genes, cols_true=cells, cols_are_cells=True, block=cb,
     )
     Atp = DenseMatrix(
-        data=jnp.asarray(buf.T, dtype=dtype),
-        nonempty=jnp.asarray(nonempty_genes),
+        data=data.T,
+        nonempty=nonempty_genes,
         rows_true=cells, cols_true=genes, cols_are_cells=False, block=gb,
     )
     return Ap, Atp

@@ -71,7 +71,18 @@ def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMat
             return EllMatrix.pair_from_csc(A)
     except ImportError:
         pass
-    return make_dense_providers(_coerce_dense(A))
+    # make_dense_providers ships scipy-sparse inputs as COO triplets and
+    # densifies on device (the dense transfer dominates otherwise)
+    return make_dense_providers(A if _is_sparse(A) else _coerce_dense(A))
+
+
+def _is_sparse(A) -> bool:
+    try:
+        import scipy.sparse as sp
+
+        return sp.issparse(A)
+    except ImportError:
+        return False
 
 
 def _engine_or_providers(A, mesh):
