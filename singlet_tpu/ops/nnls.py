@@ -49,6 +49,7 @@ def nnls_batch(
     L2: Union[float, jnp.ndarray] = 0.0,
     update_mask: jnp.ndarray | None = None,
     max_sweeps: int = CD_MAX_SWEEPS,
+    n_coord=None,
 ) -> jnp.ndarray:
     """Solve n independent NNLS systems a_c x_c = b_c, x_c >= 0, warm-started.
 
@@ -64,6 +65,11 @@ def nnls_batch(
         (the reference skips empty columns entirely,
         reference:src/singlet.cpp:340).
       max_sweeps: static sweep cap.
+      n_coord: traced scalar overriding k in the sweep-convergence divisor
+        ``tol_sweep / k <= CD_TOL`` — used by rank-bucketed fits where only
+        the first k_true of k coordinates are live (the padded coordinates
+        contribute exactly zero to tol_sweep, so this restores the
+        unbucketed threshold).
 
     Returns:
       X, shape (n, k), dtype of B.
@@ -108,6 +114,8 @@ def nnls_batch(
     active0 = jnp.ones((n,), dtype=bool)
     if update_mask is not None:
         active0 = active0 & update_mask
+    k_div = jnp.float32(k) if n_coord is None else \
+        jnp.asarray(n_coord, jnp.float32)
 
     def body(carry):
         X, Bres, active, sweep = carry
@@ -121,7 +129,7 @@ def nnls_batch(
         # (reference:src/singlet.cpp:243) without per-coordinate bookkeeping.
         tol_sweep = jnp.sum(jnp.abs(X - X_prev) / (X + 1e-15), axis=1)
         sweep = sweep + 1
-        active = active & (tol_sweep / k > CD_TOL) & (sweep < max_sweeps)
+        active = active & (tol_sweep / k_div > CD_TOL) & (sweep < max_sweeps)
         return X, Bres, active, sweep
 
     def cond(carry):
@@ -134,7 +142,7 @@ def nnls_batch(
 
 
 def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
-               max_sweeps: int = CD_MAX_SWEEPS):
+               max_sweeps: int = CD_MAX_SWEEPS, n_coord=None):
     """Backend dispatcher: fused Pallas kernels on TPU (8-10x faster than the
     op-by-op XLA path), XLA everywhere else. Semantics are identical
     (validated bitwise in tests)."""
@@ -157,7 +165,8 @@ def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                          if n % b == 0 and b <= vmem_cap)
             return nnls_batch_pallas(a, B, X0, L1=L1, L2=L2,
                                      update_mask=update_mask,
-                                     max_sweeps=max_sweeps, block=block)
+                                     max_sweeps=max_sweeps, block=block,
+                                     n_coord=n_coord)
         # per-column Grams: the (k, k, block) tile batch is double-buffered
         # by the grid pipeline, so keep one copy under ~6 MB of the 16 MB
         # scoped VMEM; larger blocks amortize the sequential sweep chain
@@ -166,6 +175,7 @@ def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                      if n % b == 0 and b <= vmem_cap)
         return nnls_batch_pallas_batched_a(a, B, X0, L1=L1, L2=L2,
                                            update_mask=update_mask,
-                                           max_sweeps=max_sweeps, block=block)
+                                           max_sweeps=max_sweeps, block=block,
+                                           n_coord=n_coord)
     return nnls_batch(a, B, X0, L1=L1, L2=L2, update_mask=update_mask,
-                      max_sweeps=max_sweeps)
+                      max_sweeps=max_sweeps, n_coord=n_coord)

@@ -69,6 +69,7 @@ def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
     inv (k,) in SMEM = 1/diag(a); Delta (k, bn) = X - X0 running update."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
+    k_div = scalars_ref[2]   # convergence divisor (k_true under bucketing)
 
     Xout_ref[:, :] = X0t_ref[:, :]
     Delta_ref[:, :] = jnp.zeros_like(Delta_ref)
@@ -105,7 +106,7 @@ def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
                     Delta_ref[i, :] = Delta_ref[i, :] + delta
                     tol_terms.append(jnp.abs(delta) / (x_new + 1e-15))
             tol = _tree_sum(tol_terms)
-            still = (act > 0) & (tol / k > CD_TOL)
+            still = (act > 0) & (tol / k_div > CD_TOL)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
 
@@ -125,6 +126,7 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
     incremental rank-1 residual downdate."""
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
+    k_div = scalars_ref[2]   # convergence divisor (k_true under bucketing)
 
     Xout_ref[:, :] = X0t_ref[:, :]
     Bres_ref[:, :] = Bt_ref[:, :]
@@ -146,7 +148,7 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
                 Xout_ref[i, :] = x_new
                 tol_terms.append(jnp.abs(delta) / (x_new + 1e-15))
             tol = _tree_sum(tol_terms)
-            still = (act > 0) & (tol / k > CD_TOL)
+            still = (act > 0) & (tol / k_div > CD_TOL)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
 
@@ -159,7 +161,8 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
                    static_argnames=("max_sweeps", "block", "interpret"))
 def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                                 max_sweeps: int = CD_MAX_SWEEPS,
-                                block: int = 256, interpret: bool = False):
+                                block: int = 256, interpret: bool = False,
+                                n_coord=None):
     """Pallas CD-NNLS with a per-column Gram batch a: (n, k, k)."""
     n, k = B.shape
     assert a.ndim == 3 and a.shape == (n, k, k)
@@ -176,7 +179,10 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         mask = jnp.ones((1, n), dtype)
     else:
         mask = update_mask.astype(dtype)[None, :]
-    scalars = jnp.asarray([L1, L2], dtype)
+    k_div = jnp.float32(k) if n_coord is None else \
+        jnp.asarray(n_coord, jnp.float32)
+    scalars = jnp.stack([jnp.asarray(L1, dtype), jnp.asarray(L2, dtype),
+                         k_div.astype(dtype)])
 
     grid = (n // block,)
     out = pl.pallas_call(
@@ -212,7 +218,7 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                    static_argnames=("max_sweeps", "block", "g", "interpret"))
 def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                       max_sweeps: int = CD_MAX_SWEEPS, block: int = 4096,
-                      g: int = 16, interpret: bool = False):
+                      g: int = 16, interpret: bool = False, n_coord=None):
     """Pallas-fused equivalent of ops.nnls.nnls_batch for a shared (k,k) Gram.
 
     a: (k, k); B, X0: (n, k) with n a multiple of `block`; `g` is the
@@ -231,7 +237,10 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
         mask = jnp.ones((1, n), dtype)
     else:
         mask = update_mask.astype(dtype)[None, :]
-    scalars = jnp.asarray([L1, L2], dtype)
+    k_div = jnp.float32(k) if n_coord is None else \
+        jnp.asarray(n_coord, jnp.float32)
+    scalars = jnp.stack([jnp.asarray(L1, dtype), jnp.asarray(L2, dtype),
+                         k_div.astype(dtype)])
 
     grid = (n // block,)
     out = pl.pallas_call(

@@ -34,7 +34,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from singlet_tpu.parallel.sharded import AXIS, ShardedData, _round_up
+import warnings
+
+from singlet_tpu.parallel.sharded import (
+    AXIS,
+    ShardedData,
+    cell_geometry,
+)
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -51,8 +57,21 @@ def initialize(coordinator_address: Optional[str] = None,
             and process_id in (None, 0):
         try:
             jax.distributed.initialize()          # pod auto-detection
-        except Exception:
-            return                                # true single-process run
+        except Exception as e:
+            # a true single-process run lands here with "coordinator_address
+            # should be defined" (no pod environment to auto-detect) — fine,
+            # silently. Anything else (a pod whose coordinator FAILED) must
+            # be surfaced, or the run silently degrades into independent
+            # single-host fits.
+            benign = ("coordinator_address" in str(e)
+                      or "before any JAX calls" in str(e))
+            if not benign:
+                warnings.warn(
+                    f"jax.distributed auto-initialization failed ({e!r}); "
+                    "continuing single-process. On a multi-host pod this "
+                    "means the run is NOT distributed — pass "
+                    "coordinator_address/num_processes/process_id "
+                    "explicitly.")
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -65,19 +84,6 @@ def initialize(coordinator_address: Optional[str] = None,
 def global_mesh(axis: str = AXIS) -> Mesh:
     """1-D mesh over every device of every host, in device-id order."""
     return Mesh(np.asarray(jax.devices()), (axis,))
-
-
-def cell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 1024,
-                  gene_block: int = 2048) -> Tuple[int, int, int, int]:
-    """(genes_pad, cells_pad, cell_block, gene_block) — identical to the
-    padding ``shard_data`` (parallel/sharded.py:86) applies, so multi-host
-    ingest and single-host ingest produce bit-identical global operands."""
-    n_dev = mesh.devices.size
-    cell_block = min(cell_block, _round_up(max(cells // n_dev, 1), 256))
-    cells_pad = _round_up(cells, n_dev * cell_block)
-    gene_block = min(gene_block, _round_up(genes, 256))
-    genes_pad = _round_up(genes, gene_block)
-    return genes_pad, cells_pad, cell_block, gene_block
 
 
 def process_cell_range(genes: int, cells: int, mesh: Mesh,
@@ -117,13 +123,33 @@ def shard_cells_from_local(local_cols: np.ndarray, cells_true: int,
                                      cell_block=cell_block,
                                      gene_block=gene_block)
     width = stop - start
-    assert local_cols.shape[1] <= width, (local_cols.shape, width)
+    # the host must supply exactly its owned true columns — anything less
+    # would silently zero-fill real cells, anything more won't fit
+    expected = max(0, min(stop, cells_true) - start)
+    if local_cols.shape[1] != expected:
+        raise ValueError(
+            f"process {jax.process_index()} owns padded cell range "
+            f"[{start}, {stop}) = {expected} true columns, got "
+            f"{local_cols.shape[1]}")
     buf = np.zeros((genes_pad, width), np.float32)
     buf[:genes, : local_cols.shape[1]] = np.asarray(local_cols, np.float32)
 
     A = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(None, AXIS)), buf,
         global_shape=(genes_pad, cells_pad))
+    # validate the contiguity assumption behind process_cell_range: this
+    # process's addressable shards must cover exactly [start, stop) — if the
+    # mesh's device order doesn't group contiguously by process, fail loudly
+    # instead of assembling a silently column-permuted operand
+    owned = sorted(sh.index[1].start for sh in A.addressable_shards)
+    per_dev = cells_pad // mesh.devices.size
+    expect_starts = list(range(start, stop, per_dev))
+    if owned != expect_starts:
+        raise RuntimeError(
+            "mesh device order does not give this process a contiguous "
+            f"cell range: owns column starts {owned}, expected "
+            f"{expect_starts}. Build the mesh with global_mesh() (device-id "
+            "order) or load columns matching the owned ranges.")
     ne_local = (np.abs(buf) > 0).any(axis=0)
     nonempty = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(AXIS)), ne_local, global_shape=(cells_pad,))

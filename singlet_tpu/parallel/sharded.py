@@ -83,16 +83,27 @@ class ShardedData:
         return self.A.shape[1]
 
 
+def cell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 1024,
+                  gene_block: int = 2048):
+    """(genes_pad, cells_pad, cell_block, gene_block) for a cell-sharded
+    operand on this mesh — the single source of truth shared by single-host
+    ``shard_data`` and multi-host ``shard_cells_from_local`` so both produce
+    bit-identical global operands."""
+    n_dev = mesh.devices.size
+    cell_block = min(cell_block, _round_up(max(cells // n_dev, 1), 256))
+    cells_pad = _round_up(cells, n_dev * cell_block)
+    gene_block = min(gene_block, _round_up(genes, 256))
+    genes_pad = _round_up(genes, gene_block)
+    return genes_pad, cells_pad, cell_block, gene_block
+
+
 def shard_data(A: np.ndarray, mesh: Mesh, cell_block: int = 1024,
                gene_block: int = 2048) -> ShardedData:
     """Pad a genes x cells array and place it column-sharded on the mesh."""
     A = np.asarray(A, np.float32)
     genes, cells = A.shape
-    n_dev = mesh.shape[AXIS]
-    cell_block = min(cell_block, _round_up(max(cells // n_dev, 1), 256))
-    cells_pad = _round_up(cells, n_dev * cell_block)
-    gene_block = min(gene_block, _round_up(genes, 256))
-    genes_pad = _round_up(genes, gene_block)
+    genes_pad, cells_pad, cell_block, gene_block = cell_geometry(
+        genes, cells, mesh, cell_block, gene_block)
     buf = np.zeros((genes_pad, cells_pad), np.float32)
     buf[:genes, :cells] = A
     ne = np.zeros((cells_pad,), bool)

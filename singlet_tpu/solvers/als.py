@@ -47,6 +47,7 @@ from singlet_tpu.ops.nnls import solve_nnls
 from singlet_tpu.ops.rngmask import seed_pair
 from singlet_tpu.sparse.matrix import DenseMatrix
 from singlet_tpu.tracing import get_metric_logger
+from singlet_tpu.utils import is_scipy_sparse
 
 
 def _round_up(x: int, m: int) -> int:
@@ -73,11 +74,7 @@ def make_dense_providers(A, cell_block: int = 2048,
     host->device transfer is the single largest cost of a whole fit (scRNA
     matrices are ~95% zeros), and the transpose copy is free on device.
     """
-    try:
-        import scipy.sparse as _sp
-        is_sparse = _sp.issparse(A)
-    except ImportError:
-        is_sparse = False
+    is_sparse = is_scipy_sparse(A)
     genes, cells = A.shape
     cb = pick_block(cells, cell_block)
     gb = pick_block(genes, gene_block)
@@ -129,7 +126,7 @@ def _half_update(P: DenseMatrix, X, Y_warm, L1, L2, link=None):
 
 
 def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
-                        inv_density: int, block: int):
+                        inv_density: int, block: int, n_coord=None):
     """Masked half-update over column blocks (reference:src/singlet.cpp:436-466)."""
     k = X.shape[1]
     a_full = gram(X)
@@ -149,7 +146,8 @@ def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
         a_blk = a_full[None, :, :] - unpack_sym(packed, k, iu)
         Y0 = jax.lax.dynamic_slice_in_dim(Y_warm, col_start, block, axis=0)
         ne = jax.lax.dynamic_slice_in_dim(P.nonempty, col_start, block, axis=0)
-        Y = solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+        Y = solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne,
+                       n_coord=n_coord)
         return None, Y
 
     _, Ys = jax.lax.scan(body, None, jnp.arange(n_blocks))
@@ -212,9 +210,12 @@ def als_step_masked(A: DenseMatrix, At: DenseMatrix, W, H, seed, L1, L2,
     zero through the CD-NNLS updates — zero Gram rows/RHS plus the
     clamp-at-zero — so only the Pearson tol's element count needs it).
     """
-    H = _half_update_masked(A, W, H, seed, L1, L2, inv_density, cell_block)
+    n_coord = None if k_true is None else jnp.asarray(k_true, jnp.float32)
+    H = _half_update_masked(A, W, H, seed, L1, L2, inv_density, cell_block,
+                            n_coord)
     H, d = scale_columns(H)
-    W_new = _half_update_masked(At, H, W, seed, L1, L2, inv_density, gene_block)
+    W_new = _half_update_masked(At, H, W, seed, L1, L2, inv_density,
+                                gene_block, n_coord)
     W_new, d = scale_columns(W_new)
     n_true = None if k_true is None else At.cols_true * k_true
     tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true], n_true)
@@ -375,42 +376,31 @@ def nmf_fit(
             jnp.float32(L2_h), jnp.float32(L2_w), link_h, link_w,
             jnp.float32(tol), maxit)
         n = int(n_it)
-        total_ms = (time.perf_counter() - t0) * 1e3
+        per_ms = round((time.perf_counter() - t0) * 1e3 / max(n, 1), 3)
         tol_trace = [float(t) for t in np.asarray(tols[:n])]
         for i, t in enumerate(tol_trace):
-            logger.log("iteration", fit=fit_id, iter=i + 1, tol=t,
-                       ms=round(total_ms / max(n, 1), 3))
+            logger.log("iteration", fit=fit_id, iter=i + 1, tol=t, ms=per_ms)
             if verbose:
                 print(f"{i + 1:4d} | {t:8.2e}")
         tol_ = tol_trace[-1] if tol_trace else 1.0
-        logger.log("fit_end", fit=fit_id, n_iter=n, tol=tol_)
-        return FitResult(
-            w=np.asarray(W[: Ap.rows_true]),
-            d=np.asarray(d),
-            h=np.asarray(H[: Ap.cols_true]).T,
-            tol=tol_,
-            n_iter=n,
-            tol_trace=tol_trace,
-        )
-
-    for it in range(start_it, maxit):
-        if tol_ <= tol:
-            break
-        t0 = time.perf_counter()
-        W, H, d, tol_j = als_step(Ap, Atp, W, H, L1_h, L1_w, L2_h, L2_w,
-                                  link_h, link_w)
-        tol_ = float(tol_j)
-        tol_trace.append(tol_)
-        logger.log("iteration", fit=fit_id, iter=it + 1, tol=tol_,
-                   ms=round((time.perf_counter() - t0) * 1e3, 3))
-        if verbose:
-            print(f"{it + 1:4d} | {tol_:8.2e}")
-        if mgr is not None:
+    else:
+        for it in range(start_it, maxit):
+            if tol_ <= tol:
+                break
+            t0 = time.perf_counter()
+            W, H, d, tol_j = als_step(Ap, Atp, W, H, L1_h, L1_w, L2_h, L2_w,
+                                      link_h, link_w)
+            tol_ = float(tol_j)
+            tol_trace.append(tol_)
+            logger.log("iteration", fit=fit_id, iter=it + 1, tol=tol_,
+                       ms=round((time.perf_counter() - t0) * 1e3, 3))
+            if verbose:
+                print(f"{it + 1:4d} | {tol_:8.2e}")
             mgr.maybe_save(it + 1, dict(
                 ckpt_config, W=np.asarray(W), H=np.asarray(H),
                 d=np.asarray(d), tol_trace=tol_trace))
-    logger.log("fit_end", fit=fit_id, n_iter=len(tol_trace), tol=tol_)
 
+    logger.log("fit_end", fit=fit_id, n_iter=len(tol_trace), tol=tol_)
     return FitResult(
         w=np.asarray(W[: Ap.rows_true]),
         d=np.asarray(d),

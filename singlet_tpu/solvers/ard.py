@@ -210,7 +210,10 @@ def ard_nmf_fit(
         iter_t = [int(v) for v in np.asarray(titer_a[:n_tr])]
         tol_t = [float(tols_np[i]) for i in iter_t]
         score_t = [float(v) for v in np.asarray(score_a[:n_tr])]
-        tol_ = float(tols_np[it - 1]) if it > 0 else tol_
+        # the step of an early-stopped iteration wrote tols[it] (it is not
+        # incremented on stop, mirroring the reference's break-before-++)
+        last_idx = it if stopped_early else it - 1
+        tol_ = float(tols_np[last_idx]) if last_idx >= 0 else tol_
         n_steps = it if not stopped_early else it + 1
         per_ms = round(total_ms / max(n_steps, 1), 3)
         ti = set(iter_t)

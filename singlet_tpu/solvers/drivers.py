@@ -26,7 +26,8 @@ from singlet_tpu.model import NMFModel
 from singlet_tpu.solvers.als import init_w, make_dense_providers, nmf_fit
 from singlet_tpu.solvers.ard import ard_nmf_fit
 from singlet_tpu.sparse.matrix import DenseMatrix
-from singlet_tpu.utils import enable_compilation_cache, vprint
+from singlet_tpu.utils import (enable_compilation_cache, is_scipy_sparse,
+                               vprint)
 
 
 def _coerce_dense(A) -> np.ndarray:
@@ -73,16 +74,7 @@ def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMat
         pass
     # make_dense_providers ships scipy-sparse inputs as COO triplets and
     # densifies on device (the dense transfer dominates otherwise)
-    return make_dense_providers(A if _is_sparse(A) else _coerce_dense(A))
-
-
-def _is_sparse(A) -> bool:
-    try:
-        import scipy.sparse as sp
-
-        return sp.issparse(A)
-    except ImportError:
-        return False
+    return make_dense_providers(A if is_scipy_sparse(A) else _coerce_dense(A))
 
 
 def _engine_or_providers(A, mesh):

@@ -39,3 +39,13 @@ class Timer:
 def vprint(verbose: int, level: int, *args) -> None:
     if verbose >= level:
         print(*args, flush=True)
+
+
+def is_scipy_sparse(A) -> bool:
+    """True when A is a scipy sparse matrix (False when scipy is absent)."""
+    try:
+        import scipy.sparse as sp
+
+        return sp.issparse(A)
+    except ImportError:
+        return False
