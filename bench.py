@@ -85,6 +85,21 @@ def main():
     base = (baseline or {}).get("cells_per_s")
     vs = cells_per_s / base if base else None
 
+    # FLOP accounting per ALS iteration (model flops, not HW passes):
+    #   B products: A^T W and A H  -> 2 * (2 * genes * cells * k)
+    #   Grams:      W^T W + H^T H  -> 2 * (genes + cells) * k^2
+    #   NNLS: measured-average sweeps * 2k^2 per column (residual downdates)
+    # The NNLS sweep count is data-dependent; 10 sweeps/column is the
+    # observed order of magnitude -> reported separately as an estimate.
+    matmul_flops = 2 * (2.0 * genes * cells * k) + 2.0 * (genes + cells) * k * k
+    nnls_flops_est = (genes + cells) * 10 * 2.0 * k * k
+    flops_per_iter = matmul_flops + nnls_flops_est
+    tflops = flops_per_iter * ips / 1e12
+    # TPU v5e (v5 lite) peak: 394 TFLOP/s bf16; f32 at Precision.HIGHEST
+    # runs ~6 bf16 passes per product -> ~66 TFLOP/s effective f32 ceiling
+    mfu_bf16 = tflops / 394.0
+    mfu_f32_highest = tflops / (394.0 / 6.0)
+
     out = {
         "metric": "als_nmf_cells_per_s_k50",
         "value": round(cells_per_s, 1),
@@ -98,6 +113,9 @@ def main():
         "device": str(jax.devices()[0]),
         "baseline_cells_per_s": base,
         "final_tol": float(tol),
+        "model_tflops": round(tflops, 3),
+        "mfu_vs_bf16_peak": round(mfu_bf16, 4),
+        "mfu_vs_f32_highest_peak": round(mfu_f32_highest, 4),
     }
     print(json.dumps(out))
     return 0

@@ -1,0 +1,75 @@
+"""CV-curve invariance guard for matmul-precision relaxation.
+
+HIGHEST precision (6 bf16 passes/product on TPU) is the default;
+SINGLET_TPU_MM_PRECISION=high (3 passes) roughly doubles MXU throughput.
+This guard proves the relaxation does not move what the user actually
+consumes: the pbmc3k cross-validation error curve and the selected rank
+(reference workflow: cross_validate_nmf + GetBestRank,
+reference:R/cross_validate_nmf.R:18-105, R/GetBestRank.R:8-46).
+
+Each precision runs in a subprocess (MM_PRECISION is bound at import).
+Prints one JSON line with both curves, selected ranks, and the verdict.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/singlet_tpu_jax_cache")
+from singlet_tpu.data import load_pbmc3k
+from singlet_tpu.preprocess import log_normalize
+from singlet_tpu.solvers import drivers
+
+ds = load_pbmc3k()
+A = log_normalize(ds.counts)
+ranks = list(range(2, 31, 2))
+df = drivers.cross_validate_nmf(A, ranks=ranks, n_replicates=2, verbose=0,
+                                seed=123)
+best = drivers.get_best_rank(df)
+condensed = (df.sort_values("iter").groupby(["k", "rep"], as_index=False)
+             .last().groupby("k")["test_error"].mean())
+print("RESULT " + json.dumps({
+    "best_rank": int(best),
+    "curve": {str(int(k)): float(v) for k, v in condensed.items()},
+}))
+"""
+
+
+def run_child(precision: str):
+    env = dict(os.environ, SINGLET_TPU_MM_PRECISION=precision)
+    out = subprocess.run([sys.executable, "-c", CHILD], env=env,
+                         capture_output=True, text=True, timeout=3600,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child({precision}) failed:\n{out.stdout[-2000:]}\n"
+                       f"{out.stderr[-2000:]}")
+
+
+def main():
+    hi = run_child("highest")
+    rel = run_child("high")
+    ks = sorted(hi["curve"], key=int)
+    max_rel_shift = max(abs(rel["curve"][k] - hi["curve"][k]) / hi["curve"][k]
+                       for k in ks)
+    verdict = (hi["best_rank"] == rel["best_rank"]
+               and max_rel_shift < 0.01)
+    print(json.dumps({
+        "metric": "precision_invariance_pbmc3k_cv",
+        "best_rank_highest": hi["best_rank"],
+        "best_rank_high": rel["best_rank"],
+        "max_relative_curve_shift": round(max_rel_shift, 6),
+        "invariant": bool(verdict),
+    }))
+    return 0 if verdict else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,11 +9,14 @@ empirical Bayes (Smyth 2004 closed forms: fitFDist moment estimator +
 squeezeVar), and report per-(factor, group) log-odds (lods/B statistic),
 one-tailed moderated-t p-values and BH-FDR.
 
-Deviation from the reference noted: limma is called there with
-``robust=TRUE`` (outlier-robust hyperparameter fitting); we implement the
-standard (non-robust) empirical Bayes closed forms — with k factors as "genes"
-the hyperparameters are estimated from only k observations and the difference
-is negligible for ranking.
+The reference calls limma with ``robust=TRUE`` (reference:R/getModelFit.R:23-62);
+``annotate_nmf(..., robust=True)`` (the default, matching the reference)
+uses the outlier-robust hyperparameter fit: winsorized moment matching of
+the log-F prior (the estimator structure of limma::fitFDistRobustly,
+Phipson et al. 2016) plus per-row prior-df down-weighting for outlier
+variances, so hypervariable factors keep their own variance instead of
+being squeezed toward an inflated prior. ``robust=False`` gives the
+standard Smyth 2004 closed forms.
 """
 
 from __future__ import annotations
@@ -133,7 +136,96 @@ def fit_f_dist(s2: np.ndarray, df1: float):
     return s20, df0
 
 
-def squeeze_var(sigma2: np.ndarray, df: float):
+def fit_f_dist_robust(s2: np.ndarray, df1: float,
+                      winsor_tail_p=(0.05, 0.1), grid: int = 4097):
+    """Outlier-robust scaled-F prior fit (the estimator structure of
+    limma::fitFDistRobustly, Phipson et al. 2016, consumed by the
+    reference's eBayes(robust=TRUE) call at reference:R/getModelFit.R:44):
+
+      1. winsorize z = log(s2) at the (lower, upper) tail quantiles;
+      2. choose df0 so the *theoretical* winsorized variance of
+         log F(df1, df0) (computed by quantile-grid integration) matches
+         the observed winsorized variance — outlier variances cannot
+         inflate the prior spread;
+      3. s0^2 from the winsorized-mean match;
+      4. per-observation prior df: each row's F tail probability under the
+         fitted prior is compared with its empirical tail probability;
+         rows more extreme than their rank warrants get prior df shrunk
+         toward 0 (ProbOutlier-weighted), so their own variance is kept
+         unsqueezed.
+
+    Returns (s20, df0, df0_per_row).
+    """
+    s2 = np.asarray(s2, np.float64)
+    z = np.log(np.maximum(s2, 1e-300))
+    n = z.size
+    if n < 2:
+        s20, df0 = fit_f_dist(s2, df1)
+        return s20, df0, np.full(n, df0)
+    lo_p, hi_p = winsor_tail_p
+    zq = np.quantile(z, [lo_p, 1.0 - hi_p])
+    zw = np.clip(z, zq[0], zq[1])
+    zwmean = float(zw.mean())
+    zwvar = float(zw.var(ddof=1))
+
+    pgrid = (np.arange(grid) + 0.5) / grid
+    lo_i = int(np.floor(lo_p * grid))
+    hi_i = int(np.ceil((1.0 - hi_p) * grid))
+
+    def win_moments(df0):
+        x = np.log(stats.f.ppf(pgrid, df1, df0))
+        x = np.clip(x, x[lo_i], x[min(hi_i, grid - 1)])
+        return float(x.mean()), float(x.var(ddof=0))
+
+    # solve the winsorized-variance match on log10(df0); the theoretical
+    # winsorized var decreases monotonically in df0
+    from scipy.optimize import brentq
+
+    def gap(log10_df0):
+        return win_moments(10.0 ** log10_df0)[1] - zwvar
+
+    try:
+        if gap(-1.0) < 0:         # observed spread wider than any prior: df0->0
+            df0 = 0.1
+        elif gap(7.0) > 0:        # observed spread narrower than df0=1e7
+            df0 = math.inf
+        else:
+            df0 = 10.0 ** brentq(gap, -1.0, 7.0, xtol=1e-4)
+    except ValueError:
+        df0 = math.inf
+
+    # an infinitely informative prior still needs per-row outlier handling;
+    # use a large finite surrogate for the row computations (F(df1, 1e6) is
+    # numerically the scaled chi-squared limit)
+    df0_eff = min(df0, 1e6)
+    th_mean, _ = win_moments(df0_eff)
+    s20 = math.exp(zwmean - th_mean)
+
+    # per-row outlier probability and df0 shrinkage
+    Fstat = s2 / s20
+    tail_p = stats.f.sf(Fstat, df1, df0_eff)
+    r = stats.rankdata(Fstat)
+    empirical_tail = (n - r + 0.5) / n
+    prob_not_outlier = np.minimum(tail_p / empirical_tail, 1.0)
+    df0_row = np.where(prob_not_outlier >= 1.0, df0,
+                       prob_not_outlier * df0_eff)
+    return s20, df0, df0_row
+
+
+def squeeze_var(sigma2: np.ndarray, df: float, robust: bool = False):
+    """Shrink row variances toward the fitted prior (limma::squeezeVar).
+
+    With ``robust=True`` the prior is fitted by the winsorized robust
+    estimator and outlier rows get per-row prior df near 0 (their own
+    variance survives). Returns (s2_post, s20, df0) — ``df0`` is a scalar
+    for the classic path, a per-row array for the robust path."""
+    if robust:
+        s20, _, df0 = fit_f_dist_robust(sigma2, df)
+        fin = np.isfinite(df0)
+        df0_f = np.where(fin, df0, 1.0)
+        s2_post = np.where(fin, (df0_f * s20 + df * sigma2) / (df0_f + df),
+                           s20)
+        return s2_post, s20, df0
     s20, df0 = fit_f_dist(sigma2, df)
     if math.isinf(df0):
         s2_post = np.full_like(sigma2, s20)
@@ -167,34 +259,38 @@ def _tmixture_vector(tstat, stdev_unscaled, df, proportion, v0_lim):
 
 
 def ebayes(fit: dict, proportion: float = 0.01,
-           stdev_coef_lim=(0.1, 4.0)) -> dict:
+           stdev_coef_lim=(0.1, 4.0), robust: bool = False) -> dict:
     """Empirical-Bayes moderation (limma::eBayes essentials): squeezed
-    variances, moderated t, and the lods/B statistic."""
+    variances, moderated t, and the lods/B statistic. ``robust=True`` uses
+    the outlier-robust prior fit (limma eBayes(robust=TRUE), the
+    reference's call, reference:R/getModelFit.R:44) — ``df_total`` is then
+    a per-row array (outlier rows get smaller prior df)."""
     coef = fit["coefficients"]
     su = fit["stdev_unscaled"]
     df = fit["df_residual"]
-    s2_post, s20, df0 = squeeze_var(fit["sigma2"], df)
-    df_total = df + df0
+    s2_post, s20, df0 = squeeze_var(fit["sigma2"], df, robust=robust)
     df_pooled = df * coef.shape[0]
-    df_total = min(df_total, df_pooled) if not math.isinf(df_total) else df_pooled
+    df_total = np.minimum(np.nan_to_num(df + df0, posinf=df_pooled),
+                          df_pooled)
     t = coef / (su * np.sqrt(s2_post)[:, None])
 
     # lods per coefficient column
     v0_lim = (stdev_coef_lim[0] ** 2 / float(np.median(s2_post)),
               stdev_coef_lim[1] ** 2 / float(np.median(s2_post)))
+    df_mix = float(np.median(df_total))   # tmixture uses one representative df
     lods = np.empty_like(t)
     for j in range(t.shape[1]):
-        v0 = _tmixture_vector(t[:, j], su[:, j], df_total, proportion, v0_lim)
+        v0 = _tmixture_vector(t[:, j], su[:, j], df_mix, proportion, v0_lim)
         if not np.isfinite(v0) or v0 < 0:
             v0 = 0.0
         v1 = su[:, j] ** 2
         r = (v1 + v0) / v1
         t2 = t[:, j] ** 2
-        if df_total > 1e6:
-            kernel = t2 * (1 - 1 / r) / 2
-        else:
-            kernel = (1 + df_total) / 2 * np.log(
-                (t2 + df_total) / (t2 / r + df_total))
+        kernel = np.where(
+            df_total > 1e6,
+            t2 * (1 - 1 / r) / 2,
+            (1 + df_total) / 2 * np.log(
+                (t2 + df_total) / (t2 / r + np.maximum(df_total, 1e-300))))
         lods[:, j] = math.log(proportion / (1 - proportion)) - np.log(r) / 2 + kernel
 
     return dict(t=t, lods=lods, s2_post=s2_post, df_total=df_total,
@@ -224,18 +320,20 @@ def model_results(eb: dict, factor_names: Sequence[str],
     one-tailed moderated-t p-values, BH FDR, positive-lods filter."""
     t = eb["t"]
     lods = eb["lods"]
-    df_total = eb["df_total"]
+    df_total = np.broadcast_to(np.asarray(eb["df_total"], np.float64),
+                               (t.shape[0],))
     rows = []
     for fi, fname in enumerate(factor_names):
         for gi, gname in enumerate(group_names):
-            rows.append((gname, fname, lods[fi, gi], t[fi, gi]))
-    df = pd.DataFrame(rows, columns=["group", "factor", "fc", "t"])
+            rows.append((gname, fname, lods[fi, gi], t[fi, gi],
+                         df_total[fi]))
+    df = pd.DataFrame(rows, columns=["group", "factor", "fc", "t", "df"])
     if tail == "pos":
-        df["p_raw"] = stats.t.sf(df["t"], df_total)
+        df["p_raw"] = stats.t.sf(df["t"], df["df"])
     elif tail == "neg":
-        df["p_raw"] = stats.t.cdf(df["t"], df_total)
+        df["p_raw"] = stats.t.cdf(df["t"], df["df"])
     elif tail == "std":
-        df["p_raw"] = 2 * stats.t.sf(np.abs(df["t"]), df_total)
+        df["p_raw"] = 2 * stats.t.sf(np.abs(df["t"]), df["df"])
     else:
         raise ValueError("Invalid tail selection. Choose 'pos','neg', or 'std'")
     df["p"] = bh_fdr(df["p_raw"].to_numpy())
@@ -248,11 +346,14 @@ def annotate_nmf(model, meta: Dict[str, np.ndarray],
                  columns: Optional[Sequence[str]] = None,
                  center: bool = True, scale: bool = False,
                  max_levels: int = 200, tail: str = "pos",
-                 annotation_name: str = "annotations"):
+                 annotation_name: str = "annotations",
+                 robust: bool = True):
     """Annotate an NMFModel's factors against categorical metadata.
 
-    Stores {column: DataFrame(group, factor, fc, p)} in
-    ``model.misc[annotation_name]`` and returns it.
+    ``robust=True`` (default — the reference runs limma with robust=TRUE,
+    reference:R/getModelFit.R:44) protects the variance prior from
+    hypervariable factors. Stores {column: DataFrame(group, factor, fc, p)}
+    in ``model.misc[annotation_name]`` and returns it.
     """
     cols = check_columns(meta, columns, max_levels)
     h = np.asarray(model.h, np.float64)          # (k, cells)
@@ -268,7 +369,7 @@ def annotate_nmf(model, meta: Dict[str, np.ndarray],
                 sd[sd == 0] = 1.0
                 dat = dat / sd
         fit = lm_fit(dat, X)
-        eb = ebayes(fit)
+        eb = ebayes(fit, robust=robust)
         results[col] = model_results(eb, model.factor_names, levels, tail=tail)
     model.misc[annotation_name] = results
     return results

@@ -37,6 +37,7 @@ class Experiment:
     meta: Dict[str, np.ndarray] = field(default_factory=dict)
     reductions: Dict[str, NMFModel] = field(default_factory=dict)
     graphs: Dict[str, sp.spmatrix] = field(default_factory=dict)
+    var_features: Optional[list] = None   # FindVariableFeatures output
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -67,6 +68,22 @@ class Experiment:
         if self.data is None or looks_like_counts(self.data):
             self.preprocess_data()
         return self.data
+
+    def find_variable_features(self, n_features: int = 2000,
+                               loess_span: float = 0.3) -> "Experiment":
+        """vst variable-gene selection (Seurat FindVariableFeatures
+        default): populates ``self.var_features`` with the top gene names
+        by clipped standardized variance — the slot the reference indexes
+        when ``features='var.features'`` (reference:R/RunNMF.R:73-74)."""
+        from singlet_tpu.preprocess import variable_features_vst
+
+        src = self.counts if self.counts is not None else self.data
+        idx = variable_features_vst(src, n_features=n_features,
+                                    loess_span=loess_span)
+        names = (self.gene_names if self.gene_names is not None
+                 else list(range(self.n_genes)))
+        self.var_features = [names[i] for i in idx]
+        return self
 
     # ---------------------------------------------------------- interop
     def to_h5ad(self, path: str, layer: str = "counts") -> "Experiment":
@@ -107,8 +124,12 @@ class Experiment:
         gene_names = self.gene_names
         if features is not None:
             if isinstance(features, str) and features == "var.features":
-                raise ValueError("variable-feature selection requires a "
-                                 "precomputed var_features list in meta")
+                # reference:R/RunNMF.R:73-74 indexes the Seurat var.features
+                # slot; auto-compute vst variable genes when absent (the
+                # default Seurat workflow runs FindVariableFeatures first)
+                if getattr(self, "var_features", None) is None:
+                    self.find_variable_features()
+                features = self.var_features
             idx = self._feature_indices(features)
             A = A[idx, :]
             gene_names = [self.gene_names[i] for i in idx] if self.gene_names else None

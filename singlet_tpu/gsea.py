@@ -6,12 +6,22 @@ and by size, per-factor enrichment, results padded to the union of pathways,
 -log10 p / padj matrices ordered by Ward hierarchical clustering, stored in
 ``model.misc['gsea']``.
 
-The enrichment engine is a from-scratch implementation of the preranked GSEA
-statistic (weighted KS running-sum) with size-stratified permutation null
-distributions — the sampling scheme of fgsea's original "simple" method.
-Deviations from the reference noted: (1) fgsea's *multilevel* adaptive
-splitting for extreme p-values is not replicated; p-value resolution is
-bounded by ``nperm`` (2) msigdbr gene-set catalogs are not bundled (no
+Two enrichment engines, both from-scratch implementations of the preranked
+GSEA statistic (weighted KS running-sum):
+
+  * ``fgsea_simple`` — size-stratified permutation null distributions, the
+    sampling scheme of fgsea's original "simple" method; p resolution is
+    bounded by ``nperm``.
+  * ``fgsea_multilevel`` — the adaptive multilevel split Monte Carlo
+    estimator of fgsea's default method (Korotkevich et al. 2019): levels
+    of conditional sampling, each conditioning on exceeding the previous
+    level's median ES via Metropolis swap moves, halve the estimated tail
+    probability per level, so p-values far below 1/sampleSize are resolved
+    (down to ``eps``). This is what ``run_gsea`` uses by default,
+    matching the reference's ``fgseaMultilevel`` call
+    (reference:R/RunGSEA.R:89-91).
+
+Deviation from the reference: msigdbr gene-set catalogs are not bundled (no
 network); pass ``gene_sets`` explicitly or load a .gmt file with
 :func:`read_gmt`.
 """
@@ -145,6 +155,138 @@ def fgsea_simple(ranks: pd.Series, pathways: Dict[str, Sequence[str]],
     return df[["pathway", "pval", "padj", "ES", "NES", "size"]]
 
 
+def _es_positions(pos: np.ndarray, absstats: np.ndarray, n: int):
+    """Vectorized positive/negative ES extremes for a batch of gene sets.
+
+    pos: (batch, s) SORTED 0-based hit positions. Returns (pos_ext, neg_ext).
+    """
+    s = pos.shape[1]
+    w = absstats[pos]                       # (batch, s)
+    cumw = np.cumsum(w, axis=1)
+    NR = cumw[:, -1].copy()
+    NR[NR == 0] = 1.0
+    j = np.arange(1, s + 1)[None, :]
+    miss_step = 1.0 / (n - s)
+    at_hit = cumw / NR[:, None] - (pos + 1 - j) * miss_step
+    before = (cumw - w) / NR[:, None] - (pos - (j - 1)) * miss_step
+    return at_hit.max(axis=1), before.min(axis=1)
+
+
+def _multilevel_pval(es_obs: float, s: int, absstats: np.ndarray, n: int,
+                     sample_size: int, eps: float, rng,
+                     negative: bool = False, max_levels: int = 120):
+    """Adaptive multilevel split Monte Carlo estimate of the GSEA tail
+    probability P(ES_random >= es_obs) (or <= for ``negative``).
+
+    The estimator of fgsea's default ``fgseaMultilevel`` (Korotkevich,
+    Sukhov, Sergushichev 2019, Algorithm; reference consumes it at
+    R/RunGSEA.R:89): maintain an odd-sized population of random gene sets;
+    while the population median ES is below the observed ES, condition the
+    population on exceeding the median (discard the lower half, duplicate
+    the upper half, diversify with Metropolis gene-swap moves that reject
+    proposals falling below the threshold) and multiply the probability
+    estimate by 1/2. Each level doubles the resolvable tail depth, so p ~
+    2^-levels values far beyond 1/sample_size are estimated. Returns
+    (pval, nes_denominator, log2err_levels).
+    """
+    Z = sample_size if sample_size % 2 == 1 else sample_size + 1
+    half = (Z - 1) // 2
+
+    def es_of(pos):
+        pe, ne = _es_positions(pos, absstats, n)
+        return -ne if negative else pe
+
+    # level 0: unconditional sample
+    pos = np.sort(
+        rng.permuted(np.broadcast_to(np.arange(n), (Z, n)), axis=1)[:, :s],
+        axis=1).astype(np.int64)
+    es = es_of(pos)
+    gamma = -es_obs if negative else es_obs
+    # NES denominator from the unconditional sample (same-sign mean)
+    denom = float(np.mean(np.abs(es[es >= 0]))) if np.any(es >= 0) else 1e-12
+    denom = max(denom, 1e-12)
+
+    logp = 0.0          # log2 of the probability accumulated over levels
+    levels = 0
+    while levels < max_levels:
+        med = float(np.median(es))
+        if med >= gamma or 2.0 ** logp <= eps:
+            break
+        # condition on ES >= med: keep the strict upper half, duplicate
+        order = np.argsort(es, kind="stable")
+        keep = order[half:]                  # Z - half = half + 1 survivors
+        pos = np.concatenate([pos[keep], pos[keep[: Z - keep.size]]], axis=0)
+        es = np.concatenate([es[keep], es[keep[: Z - keep.size]]])
+        # Metropolis diversification: s rounds of one proposed swap per
+        # particle, accepted iff the new ES stays above the threshold
+        for _ in range(max(1, s)):
+            drop = rng.integers(0, s, size=Z)
+            cand = rng.integers(0, n, size=Z)
+            # skip proposals already in the set
+            in_set = (pos == cand[:, None]).any(axis=1)
+            prop = pos.copy()
+            prop[np.arange(Z), drop] = np.where(in_set, pos[np.arange(Z),
+                                                            drop], cand)
+            prop = np.sort(prop, axis=1)
+            es_prop = es_of(prop)
+            acc = (es_prop >= med) & ~in_set
+            pos = np.where(acc[:, None], prop, pos)
+            es = np.where(acc, es_prop, es)
+        logp -= 1.0                          # P(ES >= med) ~ 1/2 per level
+        levels += 1
+
+    exceed = int(np.sum(es >= gamma))
+    pval = (2.0 ** logp) * (exceed + 1) / (Z + 1)
+    return max(pval, eps if pval > 0 else eps), denom, levels
+
+
+def fgsea_multilevel(ranks: pd.Series, pathways: Dict[str, Sequence[str]],
+                     min_size: int = 10, max_size: int = 500,
+                     sample_size: int = 101, eps: float = 1e-10,
+                     score_type: str = "pos",
+                     seed: int = 0) -> pd.DataFrame:
+    """Preranked GSEA with the multilevel split p-value estimator — the
+    counterpart of the reference's ``fgseaMultilevel`` call
+    (reference:R/RunGSEA.R:89-91). Same frame schema as
+    :func:`fgsea_simple`; p-values are floored at ``eps`` (fgsea's
+    convention: values below are reported as the bound)."""
+    rng = np.random.default_rng(seed)
+    genes = np.asarray(ranks.index)
+    stats = np.asarray(ranks.to_numpy(), np.float64)
+    order = np.argsort(-stats, kind="stable")
+    genes_sorted = genes[order]
+    absstats = np.abs(stats[order])
+    n = genes_sorted.size
+    gene_pos = {g: i for i, g in enumerate(genes_sorted)}
+
+    rows = []
+    for name, members in pathways.items():
+        idx = np.array(sorted(gene_pos[g] for g in set(members)
+                              if g in gene_pos), dtype=np.int64)
+        s = idx.size
+        if not (min_size < s < max_size):
+            continue
+        es = _es_single(np.isin(np.arange(n), idx), absstats, score_type)
+        if score_type == "pos" or (score_type == "std" and es >= 0):
+            pval, denom, _ = _multilevel_pval(es, s, absstats, n,
+                                              sample_size, eps, rng)
+        else:
+            pval, denom, _ = _multilevel_pval(es, s, absstats, n,
+                                              sample_size, eps, rng,
+                                              negative=True)
+        if score_type == "std":
+            pval = min(1.0, 2.0 * pval)     # two-sided doubling
+        rows.append((name, pval, es, es / denom, s))
+
+    df = pd.DataFrame(rows, columns=["pathway", "pval", "ES", "NES", "size"])
+    if len(df):
+        from singlet_tpu.annotate import bh_fdr
+        df["padj"] = bh_fdr(df["pval"].to_numpy())
+    else:
+        df["padj"] = []
+    return df[["pathway", "pval", "padj", "ES", "NES", "size"]]
+
+
 def _ward_order(X: np.ndarray):
     from scipy.cluster.hierarchy import leaves_list, linkage
 
@@ -161,12 +303,16 @@ def run_gsea(model, gene_sets: Dict[str, Sequence[str]],
              min_size: int = 10, max_size: int = 500, nperm: int = 1000,
              dims: Optional[Sequence[int]] = None, padj_sig: float = 0.01,
              score_type: str = "pos", verbose: bool = False, seed: int = 0,
-             gsea_name: str = "gsea"):
+             gsea_name: str = "gsea", method: str = "multilevel",
+             sample_size: int = 101, eps: float = 1e-10):
     """GSEA over every factor's loadings; store -log10 matrices in misc.
 
-    Returns dict(pval, padj, es, nes) of DataFrames (pathways x factors),
-    rows/cols ordered by Ward clustering of -log10(padj)
-    (reference:R/RunGSEA.R:118-130).
+    ``method="multilevel"`` (default) uses the adaptive multilevel split
+    p-value estimator, matching the reference's ``fgseaMultilevel``
+    (reference:R/RunGSEA.R:89-91); ``method="simple"`` uses the
+    ``nperm``-permutation estimator. Returns dict(pval, padj, es, nes) of
+    DataFrames (pathways x factors), rows/cols ordered by Ward clustering
+    of -log10(padj) (reference:R/RunGSEA.R:118-130).
     """
     w = np.asarray(model.w)
     names = model.factor_names
@@ -190,9 +336,15 @@ def run_gsea(model, gene_sets: Dict[str, Sequence[str]],
     per_factor = {}
     for ci in cols:
         ranks = pd.Series(w[:, ci], index=genes)
-        res = fgsea_simple(ranks, gene_sets, min_size=min_size,
-                           max_size=max_size, nperm=nperm,
-                           score_type=score_type, seed=seed)
+        if method == "multilevel":
+            res = fgsea_multilevel(ranks, gene_sets, min_size=min_size,
+                                   max_size=max_size,
+                                   sample_size=sample_size, eps=eps,
+                                   score_type=score_type, seed=seed)
+        else:
+            res = fgsea_simple(ranks, gene_sets, min_size=min_size,
+                               max_size=max_size, nperm=nperm,
+                               score_type=score_type, seed=seed)
         per_factor[names[ci]] = res.set_index("pathway")
         if verbose:
             print(f"{names[ci]}: {len(res)} pathways", flush=True)

@@ -159,7 +159,13 @@ def log_normalize_inplace(A: sp.csc_matrix, scale_factor: float = 1e4
 # SVC1 compressed shards (out-of-core staging, IVCSC analogue)
 # ---------------------------------------------------------------------------
 
-def svc_write(path: str, A: sp.csc_matrix) -> None:
+def svc_write(path: str, A: sp.csc_matrix,
+              value_compress: bool = False) -> None:
+    """Write a compressed SVC shard. ``value_compress`` engages the v2
+    value-grouped encoding (VCSC analogue,
+    reference:inst/include/src/VCSC/VCSC_SparseMatrix.hpp:20-30): each
+    distinct value stored once per column — smaller for highly redundant
+    values (raw counts, log-normalized counts)."""
     lib = _load()
     A = sp.csc_matrix(A)
     if lib is None:
@@ -169,10 +175,11 @@ def svc_write(path: str, A: sp.csc_matrix) -> None:
     indptr = A.indptr.astype(np.int64)
     indices = A.indices.astype(np.int32)
     data = A.data.astype(np.float32)
-    rc = lib.singlet_svc_write(path.encode(), A.shape[0], A.shape[1],
-                               _ptr(indptr, ctypes.c_int64),
-                               _ptr(indices, ctypes.c_int32),
-                               _ptr(data, ctypes.c_float))
+    fn = lib.singlet_svc_write_v2 if value_compress else lib.singlet_svc_write
+    rc = fn(path.encode(), A.shape[0], A.shape[1],
+            _ptr(indptr, ctypes.c_int64),
+            _ptr(indices, ctypes.c_int32),
+            _ptr(data, ctypes.c_float))
     if rc != 0:
         raise IOError(lib.singlet_last_error().decode())
 

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <string>
 #include <thread>
 #include <vector>
@@ -338,6 +339,61 @@ int singlet_svc_write(const char* path, int64_t rows, int64_t cols,
   return 0;
 }
 
+// Version 2: value-compressed columns (the VCSC analogue,
+// reference:inst/include/src/VCSC/VCSC_SparseMatrix.hpp:20-30). Per column:
+//   u32 nnz_c, u32 n_unique,
+//   [f32 value, varint run_count] * n_unique   (ascending value order)
+//   u32 idx_bytes, then per group varint delta-encoded indices (prev
+//   restarts at -1 for each group)
+// Each distinct value is stored once per column — log-normalized scRNA
+// columns carry few distinct values (counts 1,2,3,... through log1p), so
+// the f32 payload shrinks by the per-column redundancy factor.
+int singlet_svc_write_v2(const char* path, int64_t rows, int64_t cols,
+                         const int64_t* indptr, const int32_t* indices,
+                         const float* data) {
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    g_err = std::string("cannot open for write: ") + path;
+    return -1;
+  }
+  int64_t nnz = indptr[cols];
+  fwrite("SVC1", 1, 4, f);
+  uint32_t version = 2;
+  fwrite(&version, 4, 1, f);
+  fwrite(&rows, 8, 1, f);
+  fwrite(&cols, 8, 1, f);
+  fwrite(&nnz, 8, 1, f);
+  std::vector<uint8_t> grpbuf, idxbuf;
+  std::map<float, std::vector<int32_t>> groups;
+  for (int64_t c = 0; c < cols; ++c) {
+    uint32_t n = (uint32_t)(indptr[c + 1] - indptr[c]);
+    fwrite(&n, 4, 1, f);
+    groups.clear();
+    for (int64_t i = indptr[c]; i < indptr[c + 1]; ++i)
+      groups[data[i]].push_back(indices[i]);
+    uint32_t nu = (uint32_t)groups.size();
+    fwrite(&nu, 4, 1, f);
+    grpbuf.clear();
+    idxbuf.clear();
+    for (auto& kv : groups) {
+      float v = kv.first;
+      grpbuf.insert(grpbuf.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+      put_varint(grpbuf, (uint32_t)kv.second.size());
+      int32_t prev = -1;
+      for (int32_t idx : kv.second) {
+        put_varint(idxbuf, (uint32_t)(idx - prev - 1));
+        prev = idx;
+      }
+    }
+    fwrite(grpbuf.data(), 1, grpbuf.size(), f);
+    uint32_t bl = (uint32_t)idxbuf.size();
+    fwrite(&bl, 4, 1, f);
+    fwrite(idxbuf.data(), 1, bl, f);
+  }
+  fclose(f);
+  return 0;
+}
+
 int singlet_svc_read_header(const char* path, int64_t* rows, int64_t* cols,
                             int64_t* nnz) {
   FILE* f = fopen(path, "rb");
@@ -370,28 +426,71 @@ int singlet_svc_read(const char* path, int64_t* indptr, int32_t* indices,
     g_err = "bad SVC1 magic";
     return -1;
   }
-  p += 4 + 4;
+  p += 4;
+  uint32_t version;
+  memcpy(&version, p, 4); p += 4;
   int64_t rows, cols, nnz;
   memcpy(&rows, p, 8); p += 8;
   memcpy(&cols, p, 8); p += 8;
   memcpy(&nnz, p, 8); p += 8;
   int64_t pos = 0;
   indptr[0] = 0;
-  for (int64_t c = 0; c < cols; ++c) {
-    uint32_t n, bl;
-    memcpy(&n, p, 4); p += 4;
-    memcpy(&bl, p, 4); p += 4;
-    const uint8_t* q = p;
-    int32_t prev = -1;
-    for (uint32_t i = 0; i < n; ++i) {
-      uint32_t d;
-      q = get_varint(q, &d);
-      prev = prev + 1 + (int32_t)d;
-      indices[pos + i] = prev;
+  if (version == 1) {
+    for (int64_t c = 0; c < cols; ++c) {
+      uint32_t n, bl;
+      memcpy(&n, p, 4); p += 4;
+      memcpy(&bl, p, 4); p += 4;
+      const uint8_t* q = p;
+      int32_t prev = -1;
+      for (uint32_t i = 0; i < n; ++i) {
+        uint32_t d;
+        q = get_varint(q, &d);
+        prev = prev + 1 + (int32_t)d;
+        indices[pos + i] = prev;
+      }
+      p += bl;
+      memcpy(data + pos, p, 4ull * n);
+      p += 4ull * n;
+      pos += n;
+      indptr[c + 1] = pos;
     }
-    p += bl;
-    memcpy(data + pos, p, 4ull * n);
-    p += 4ull * n;
+    return 0;
+  }
+  // version 2: value-grouped columns; re-sort each column by row index to
+  // restore canonical CSC order
+  std::vector<std::pair<int32_t, float>> col;
+  std::vector<std::pair<float, uint32_t>> runs;
+  for (int64_t c = 0; c < cols; ++c) {
+    uint32_t n, nu;
+    memcpy(&n, p, 4); p += 4;
+    memcpy(&nu, p, 4); p += 4;
+    runs.clear();
+    for (uint32_t u = 0; u < nu; ++u) {
+      float v;
+      memcpy(&v, p, 4); p += 4;
+      uint32_t cnt;
+      p = get_varint(p, &cnt);
+      runs.emplace_back(v, cnt);
+    }
+    uint32_t bl;
+    memcpy(&bl, p, 4); p += 4;
+    col.clear();
+    col.reserve(n);
+    for (auto& r : runs) {
+      int32_t prev = -1;
+      for (uint32_t i = 0; i < r.second; ++i) {
+        uint32_t d;
+        p = get_varint(p, &d);
+        prev = prev + 1 + (int32_t)d;
+        col.emplace_back(prev, r.first);
+      }
+    }
+    (void)bl;
+    std::sort(col.begin(), col.end());
+    for (uint32_t i = 0; i < n; ++i) {
+      indices[pos + i] = col[i].first;
+      data[pos + i] = col[i].second;
+    }
     pos += n;
     indptr[c + 1] = pos;
   }

@@ -13,15 +13,24 @@ the *rows* of the factor matrices):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# All f32 matmuls in the solver run at highest precision: convergence of the
-# CD-NNLS fixed point and CV-curve shape is sensitive to Gram accuracy.
-MM_PRECISION = jax.lax.Precision.HIGHEST
+# All f32 matmuls in the solver run at highest precision by default:
+# convergence of the CD-NNLS fixed point and CV-curve shape is sensitive to
+# Gram accuracy. On TPU, HIGHEST = 6 bf16 passes per product, HIGH = 3
+# passes (~2x matmul throughput). SINGLET_TPU_MM_PRECISION=high opts into
+# the relaxation; benchmarks/precision_invariance.py is the guard that the
+# pbmc3k CV curve and selected rank do not move under it.
+MM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("SINGLET_TPU_MM_PRECISION", "highest").lower()]
 
 
 def gram(X: jnp.ndarray) -> jnp.ndarray:

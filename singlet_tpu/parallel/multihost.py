@@ -141,7 +141,7 @@ def shard_cells_from_local(local_cols: np.ndarray, cells_true: int,
     # process's addressable shards must cover exactly [start, stop) — if the
     # mesh's device order doesn't group contiguously by process, fail loudly
     # instead of assembling a silently column-permuted operand
-    owned = sorted(sh.index[1].start for sh in A.addressable_shards)
+    owned = sorted((sh.index[1].start or 0) for sh in A.addressable_shards)
     per_dev = cells_pad // mesh.devices.size
     expect_starts = list(range(start, stop, per_dev))
     if owned != expect_starts:

@@ -8,6 +8,21 @@ tiles are densified per block on device, so the masked-CV math is identical
 to the dense engine's — and the counter-RNG masks are keyed by global ids,
 so models are independent of mesh size and storage layout (tested).
 
+Fits run as fused device programs: the whole ALS loop — including the
+masked-CV trace / overfit-early-stop policy — is one ``lax.while_loop``
+under ``shard_map``, so a fit costs ONE host sync instead of one per
+iteration (over a tunneled device the per-iteration RTT dominates).
+Rank searches share compiled programs via ``k_bucket`` factor padding,
+exactly like the single-chip engine (solvers/ard.py).
+
+Multi-host ingest (``shard_ell_from_local``): each host packs only its own
+cell-column chunk into local ELL planes + per-device local transposes and
+contributes them to the global sharded arrays via
+``jax.make_array_from_process_local_data`` — no host ever holds the full
+matrix. Per-column nnz maxima are agreed across hosts with one tiny
+allgather, so the assembled operand is bit-identical to single-host
+``shard_ell_data`` of the same matrix.
+
 Host-side shard construction uses the native C++ packer when available.
 This replaces the reference's single-node chunked "sparse list" mode and
 R-level distributed transpose (reference:src/singlet.cpp:384-402,
@@ -17,7 +32,8 @@ reference:R/ard_nmf.R:57-70) with true cross-chip sharding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+import time
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +41,7 @@ import numpy as np
 import scipy.sparse as sp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
 from singlet_tpu.ops.linalg import (
     MM_PRECISION,
     cor_distance,
@@ -37,7 +54,8 @@ from singlet_tpu.ops.rngmask import mask_block, seed_pair
 from singlet_tpu.parallel.sharded import AXIS, make_mesh
 
 __all__ = ["ShardedEllData", "ShardedEllEngine", "shard_ell_data",
-           "sharded_ell_nmf_fit", "make_mesh"]
+           "shard_ell_from_local", "ell_geometry", "sharded_ell_nmf_fit",
+           "make_mesh"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -69,40 +87,74 @@ def _pack_ell(csc: sp.csc_matrix, cols_pad: int, max_nnz: int, pad_row: int):
     return native.csc_to_ell(csc, cols_pad, max_nnz, pad_row)
 
 
+def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
+                 gene_block: int = 2048) -> Tuple[int, int, int, int]:
+    """(genes_pad, cells_pad, cell_block, gene_block) for an ELL-sharded
+    operand on this mesh — the single source of truth shared by single-host
+    ``shard_ell_data`` and multi-host ``shard_ell_from_local`` so both
+    produce bit-identical global operands."""
+    n_dev = mesh.devices.size
+    cell_block = min(cell_block, _round_up(max(cells // n_dev, 1), 256))
+    cells_pad = _round_up(cells, n_dev * cell_block)
+    gene_block = min(gene_block, _round_up(genes, 256))
+    genes_pad = _round_up(genes, gene_block)
+    return genes_pad, cells_pad, cell_block, gene_block
+
+
+def _pack_device_planes(A_cols: sp.csc_matrix, n_dev_local: int,
+                        cells_local: int, genes_pad: int,
+                        max_nnz_a: int, max_nnz_t: int):
+    """Pack a contiguous run of ``n_dev_local`` device shards from this
+    process's true columns ``A_cols`` (genes x width_true csc).
+
+    Returns (a_idx, a_val) of shape (n_dev_local*cells_local, max_nnz_a)
+    and (at_idx, at_val) of shape (n_dev_local, genes_pad, max_nnz_t),
+    identical to the corresponding slices a full-matrix pack would produce
+    (packing is strictly per-column)."""
+    width = n_dev_local * cells_local
+    a_idx, a_val = _pack_ell(A_cols, width, max_nnz_a, genes_pad - 1)
+    at_idx = np.empty((n_dev_local, genes_pad, max_nnz_t), np.int32)
+    at_val = np.empty((n_dev_local, genes_pad, max_nnz_t), np.float32)
+    genes = A_cols.shape[0]
+    for d in range(n_dev_local):
+        lo = d * cells_local
+        hi = min(A_cols.shape[1], lo + cells_local)
+        local = (A_cols[:, lo:hi] if lo < A_cols.shape[1]
+                 else sp.csc_matrix((genes, 0)))
+        t = local.T.tocsc()   # cols = genes, row ids = local cell indices
+        at_idx[d], at_val[d] = _pack_ell(t, genes_pad, max_nnz_t,
+                                         cells_local - 1)
+    return a_idx, a_val, at_idx, at_val
+
+
 def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
                    gene_block: int = 2048) -> ShardedEllData:
     """Build cell-sharded ELL planes (+ per-shard transposes) from genes x
-    cells sparse input."""
+    cells sparse input (single process holds the full matrix)."""
     A = sp.csc_matrix(A)
     genes, cells = A.shape
-    n_dev = mesh.shape[AXIS]
-    cell_block = min(cell_block, _round_up(max(cells // n_dev, 1), 256))
-    cells_pad = _round_up(cells, n_dev * cell_block)
+    n_dev = mesh.devices.size
+    genes_pad, cells_pad, cell_block, gene_block = ell_geometry(
+        genes, cells, mesh, cell_block, gene_block)
     cells_local = cells_pad // n_dev
-    gene_block = min(gene_block, _round_up(genes, 256))
-    genes_pad = _round_up(genes, gene_block)
 
     nnz_a = np.diff(A.indptr)
     max_nnz_a = _round_up(max(int(nnz_a.max()), 1), 8)
-    a_idx, a_val = _pack_ell(A, cells_pad, max_nnz_a, genes_pad - 1)
 
-    # per-shard transpose with local cell ids
-    shards = []
+    # global max nnz/gene across per-device local transposes
     max_nnz_t = 8
     for d in range(n_dev):
         lo = d * cells_local
         hi = min(cells, lo + cells_local)
-        local = A[:, lo:hi] if lo < cells else sp.csc_matrix((genes, 0))
-        t = local.T.tocsc()   # (cells_local_true, genes) -> csc cols=genes
-        shards.append(t)
+        if lo >= cells:
+            continue
+        t = A[:, lo:hi].T.tocsc()
         if t.nnz:
             max_nnz_t = max(max_nnz_t, int(np.diff(t.indptr).max()))
     max_nnz_t = _round_up(max_nnz_t, 8)
-    at_idx = np.empty((n_dev, genes_pad, max_nnz_t), np.int32)
-    at_val = np.empty((n_dev, genes_pad, max_nnz_t), np.float32)
-    for d, t in enumerate(shards):
-        at_idx[d], at_val[d] = _pack_ell(t, genes_pad, max_nnz_t,
-                                         cells_local - 1)
+
+    a_idx, a_val, at_idx, at_val = _pack_device_planes(
+        A, n_dev, cells_local, genes_pad, max_nnz_a, max_nnz_t)
 
     ne = np.zeros(cells_pad, bool)
     ne[:cells] = nnz_a > 0
@@ -123,10 +175,117 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
     )
 
 
-def _ell_t_matmul(idx, val, X):
-    """B[c] = sum_p val[c, p] * X[idx[c, p]] — gather-reduce product."""
-    gathered = jnp.take(X, idx, axis=0)
-    return jnp.einsum("cp,cpk->ck", val, gathered, precision=MM_PRECISION)
+def _allgather_max(vals: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Elementwise max of small host-side ints across all processes."""
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray(vals, np.int64))
+    return tuple(int(v) for v in np.asarray(arr).max(axis=0))
+
+
+def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
+                         mesh: Mesh, cell_block: int = 2048,
+                         gene_block: int = 2048) -> ShardedEllData:
+    """Assemble the global ELL-sharded operand from per-host column chunks.
+
+    Each host passes only its own (genes x owned_true_cols) slice — the
+    contiguous cell range its local devices own under ``mesh`` (device-id
+    order, see ``parallel.multihost.process_cell_range``). The nnz plane
+    widths are agreed across hosts with one allgather of two integers, so
+    the assembled ``ShardedEllData`` is bit-identical to single-host
+    ``shard_ell_data`` of the concatenated matrix.
+
+    The multi-host twin of the reference's chunked sparse-list ingest +
+    R distributed transpose (reference:src/singlet.cpp:384-402,
+    reference:R/ard_nmf.R:57-70): the "distributed transpose" here is each
+    host transposing only its own device shards, locally.
+    """
+    local_cols = sp.csc_matrix(local_cols)
+    genes = local_cols.shape[0]
+    n_dev = mesh.devices.size
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    per_proc = n_dev // n_proc
+    genes_pad, cells_pad, cell_block, gene_block = ell_geometry(
+        genes, cells_true, mesh, cell_block, gene_block)
+    cells_local = cells_pad // n_dev
+
+    start = pid * per_proc * cells_local
+    stop = (pid + 1) * per_proc * cells_local
+    expected = max(0, min(stop, cells_true) - start)
+    if local_cols.shape[1] != expected:
+        raise ValueError(
+            f"process {pid} owns padded cell range [{start}, {stop}) = "
+            f"{expected} true columns, got {local_cols.shape[1]}")
+
+    nnz_a = np.diff(local_cols.indptr)
+    local_max_a = int(nnz_a.max()) if nnz_a.size else 0
+    local_max_t = 8
+    for d in range(per_proc):
+        lo = d * cells_local
+        hi = min(local_cols.shape[1], lo + cells_local)
+        if lo >= local_cols.shape[1]:
+            continue
+        t = local_cols[:, lo:hi].T.tocsc()
+        if t.nnz:
+            local_max_t = max(local_max_t, int(np.diff(t.indptr).max()))
+    gmax_a, gmax_t = _allgather_max((local_max_a, local_max_t))
+    max_nnz_a = _round_up(max(gmax_a, 1), 8)
+    max_nnz_t = _round_up(gmax_t, 8)
+
+    a_idx, a_val, at_idx, at_val = _pack_device_planes(
+        local_cols, per_proc, cells_local, genes_pad, max_nnz_a, max_nnz_t)
+
+    ne_loc = np.zeros(per_proc * cells_local, bool)
+    ne_loc[: nnz_a.size] = nnz_a > 0
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    mk = jax.make_array_from_process_local_data
+    a_idx_g = mk(sh(P(AXIS, None)), a_idx,
+                 global_shape=(cells_pad, max_nnz_a))
+    a_val_g = mk(sh(P(AXIS, None)), a_val,
+                 global_shape=(cells_pad, max_nnz_a))
+    at_idx_g = mk(sh(P(AXIS, None, None)), at_idx,
+                  global_shape=(n_dev, genes_pad, max_nnz_t))
+    at_val_g = mk(sh(P(AXIS, None, None)), at_val,
+                  global_shape=(n_dev, genes_pad, max_nnz_t))
+    ne_g = mk(sh(P(AXIS)), ne_loc, global_shape=(cells_pad,))
+    # validate the contiguity assumption: this process's addressable A-plane
+    # shards must cover exactly [start, stop)
+    owned = sorted((s.index[0].start or 0) for s in a_idx_g.addressable_shards)
+    expect_starts = list(range(start, stop, cells_local))
+    if owned != expect_starts:
+        raise RuntimeError(
+            "mesh device order does not give this process a contiguous "
+            f"cell range: owns plane-row starts {owned}, expected "
+            f"{expect_starts}. Build the mesh with global_mesh() (device-id "
+            "order) or load columns matching the owned ranges.")
+
+    # global gene-nonempty: OR of per-shard local gene nnz, computed on
+    # device (each host only knows its own columns)
+    gne_loc = np.zeros((per_proc, genes_pad), bool)
+    for d in range(per_proc):
+        lo = d * cells_local
+        hi = min(local_cols.shape[1], lo + cells_local)
+        if lo >= local_cols.shape[1]:
+            continue
+        cnt = np.asarray(
+            (local_cols[:, lo:hi] != 0).sum(axis=1)).ravel()
+        gne_loc[d, :genes] = cnt > 0
+    gne_sharded = mk(sh(P(AXIS, None)), gne_loc,
+                     global_shape=(n_dev, genes_pad))
+    gne = jax.jit(lambda x: jnp.any(x, axis=0),
+                  out_shardings=sh(P()))(gne_sharded)
+
+    return ShardedEllData(
+        a_idx=a_idx_g, a_val=a_val_g, at_idx=at_idx_g, at_val=at_val_g,
+        nonempty=ne_g, gene_nonempty=gne,
+        mesh=mesh, genes_true=genes, cells_true=cells_true,
+        genes_pad=genes_pad, cells_pad=cells_pad,
+        cell_block=cell_block, gene_block=gene_block,
+    )
 
 
 def _densify(idx, val, n_rows_out):
@@ -138,7 +297,41 @@ def _densify(idx, val, n_rows_out):
 
 
 def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
-    """Jitted plain + masked sharded ALS steps and mse over ELL shards."""
+    """Jitted plain + masked sharded ALS steps and mse over ELL shards.
+
+    The masked step takes per-side penalties (L1_h, L1_w, L2_h, L2_w) and a
+    traced ``k_true`` for rank bucketing — padded factor columns beyond
+    k_true provably stay exactly zero through every update (zero Gram row +
+    zero RHS + clamp-at-zero), so only the CD-sweep divisor and the Pearson
+    tol's element count need the true rank (same invariant as the
+    single-chip engine, solvers/als.py:als_step_masked)."""
+    fns = _build_local_fns(data, inv_density)
+    mesh = data.mesh
+    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
+               P(AXIS, None, None), P(AXIS), P(None))
+    plain_step = jax.jit(jax.shard_map(
+        fns["plain"], mesh=mesh,
+        in_specs=specs_a + (P(None, None), P(AXIS, None), P(), P(), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P()),
+        check_vma=False))
+    masked_step = jax.jit(jax.shard_map(
+        fns["masked"], mesh=mesh,
+        in_specs=specs_a + (P(None, None), P(AXIS, None), P(None),
+                            P(), P(), P(), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P()),
+        check_vma=False))
+    mse_fn = jax.jit(jax.shard_map(
+        fns["mse"], mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(None, None), P(None),
+                  P(AXIS, None), P(None)),
+        out_specs=P(),
+        check_vma=False))
+    return plain_step, masked_step, mse_fn
+
+
+def _build_local_fns(data: ShardedEllData, inv_density: int):
+    """Per-device (shard_map body) functions shared by single steps and the
+    fused fit loops."""
     mesh = data.mesh
     n_dev = mesh.shape[AXIS]
     cells_local = data.cells_pad // n_dev
@@ -152,28 +345,59 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
 
     def _plain(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H_loc,
                L1_h, L1_w, L2_h, L2_w):
+        # Blocked over cells/genes: densify one ELL block into an MXU-dense
+        # tile, then one dense matmul. The whole-plane gather-einsum
+        # alternative materializes a (cells, nnz, k) intermediate — 100s of
+        # GB at million-cell scale; the densified tile is (block, genes)
+        # and the matmul rides the MXU at 1/density extra FLOPs, which the
+        # MXU's ~2 orders of magnitude over gather throughput easily absorbs.
         k = W.shape[1]
         at_idx = at_idx[0]
         at_val = at_val[0]
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
-        B_h = _ell_t_matmul(a_idx, a_val, W)
-        H_loc = solve_nnls(a_w, B_h, H_loc, L1=L1_h, L2=L2_h,
-                           update_mask=ne_loc)
-        d = jax.lax.psum(jnp.sum(H_loc, axis=0), AXIS) + 1e-15
-        H_loc = H_loc / d[None, :]
+
+        def h_blk(_, bi):
+            start = bi * cell_block
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
+            tile = _densify(idx, val, genes_pad)          # (blk, genes_pad)
+            B = jnp.dot(tile, W, precision=MM_PRECISION)
+            Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
+            ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
+            return None, solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h,
+                                    update_mask=ne)
+
+        _, Hs = jax.lax.scan(h_blk, None,
+                             jnp.arange(cells_local // cell_block))
+        H_new = Hs.reshape(cells_local, k)
+        d = jax.lax.psum(jnp.sum(H_new, axis=0), AXIS) + 1e-15
+        H_new = H_new / d[None, :]
+
         a_h = jax.lax.psum(
-            jnp.dot(H_loc.T, H_loc, precision=MM_PRECISION), AXIS)
+            jnp.dot(H_new.T, H_new, precision=MM_PRECISION), AXIS)
         a_h = a_h + 1e-15 * jnp.eye(k)
-        B_w = jax.lax.psum(_ell_t_matmul(at_idx, at_val, H_loc), AXIS)
-        W_new = solve_nnls(a_h, B_w, W, L1=L1_w, L2=L2_w,
-                           update_mask=gene_ne)
+
+        def w_blk(_, bi):
+            start = bi * gene_block
+            idx = jax.lax.dynamic_slice_in_dim(at_idx, start, gene_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(at_val, start, gene_block, 0)
+            tile = _densify(idx, val, cells_local)        # (blk, cells_loc)
+            B = jax.lax.psum(
+                jnp.dot(tile, H_new, precision=MM_PRECISION), AXIS)
+            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
+            ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
+            return None, solve_nnls(a_h, B, Y0, L1=L1_w, L2=L2_w,
+                                    update_mask=ne)
+
+        _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
+        W_new = Ws.reshape(genes_pad, k)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
         tol = cor_distance(W_new[:genes_true], W[:genes_true])
-        return W_new, H_loc, d, tol
+        return W_new, H_new, d, tol
 
     def _masked(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H_loc,
-                seed, L1, L2):
+                seed, L1_h, L1_w, L2_h, L2_w, k_true):
         k = W.shape[1]
         at_idx = at_idx[0]
         at_val = at_val[0]
@@ -181,6 +405,7 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
         cell_ids_local = _local_cell_ids(dev)
         gene_ids = jnp.arange(genes_pad)
         iu = triu_pairs(k)
+        n_coord = jnp.asarray(k_true, jnp.float32)
 
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         Pw = packed_outer_products(W, iu)
@@ -201,8 +426,8 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
             a_blk = a_full[None] - unpack_sym(packed, k, iu)
             Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
-            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2,
-                                    update_mask=ne)
+            return None, solve_nnls(a_blk, B, Y0, L1=L1_h, L2=L2_h,
+                                    update_mask=ne, n_coord=n_coord)
 
         _, Hs = jax.lax.scan(h_blk, None,
                              jnp.arange(cells_local // cell_block))
@@ -232,14 +457,15 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
             a_blk = a_h[None] - unpack_sym(packed, k, iu)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2,
-                                    update_mask=ne)
+            return None, solve_nnls(a_blk, B, Y0, L1=L1_w, L2=L2_w,
+                                    update_mask=ne, n_coord=n_coord)
 
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         W_new = Ws.reshape(genes_pad, k)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
-        tol = cor_distance(W_new[:genes_true], W[:genes_true])
+        n_true = genes_true * jnp.asarray(k_true, jnp.float32)
+        tol = cor_distance(W_new[:genes_true], W[:genes_true], n_true)
         return W_new, H_new, d, tol
 
     def _mse(a_idx, a_val, W, d, H_loc, seed):
@@ -270,38 +496,142 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
                               jnp.arange(cells_local // cell_block))
         return jax.lax.psum(acc, AXIS) / cells_true
 
+    return dict(plain=_plain, masked=_masked, mse=_mse)
+
+
+def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
+                               maxit: int, masked: bool):
+    """The whole (plain or masked, traceless) fit as ONE device program:
+    ``lax.while_loop`` over the sharded ALS step under ``shard_map``.
+    Returns (W, H, d, n_iter, tols[maxit]). One host sync per fit — the
+    multi-chip twin of solvers/als.py:_fit_loop_device."""
+    fns = _build_local_fns(data, inv_density)
+    step = fns["masked"] if masked else fns["plain"]
+    mesh = data.mesh
+
+    def _loop(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H,
+              *extra):
+        # extra = (L1_h, L1_w, L2_h, L2_w, tol_target) plain
+        #       = (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target) masked
+        tol_target = extra[-1]
+        args = extra[:-1]
+        k = W.shape[1]
+
+        def cond(st):
+            it, _, _, _, tolv, _ = st
+            return (it < maxit) & (tolv > tol_target)
+
+        def body(st):
+            it, W, H, d, _, tols = st
+            W, H, d, tolv = step(a_idx, a_val, at_idx, at_val, ne_loc,
+                                 gene_ne, W, H, *args)
+            tols = tols.at[it].set(tolv)
+            return (it + 1, W, H, d, tolv, tols)
+
+        st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
+               jnp.float32(1.0), jnp.full((maxit,), jnp.nan, jnp.float32))
+        it, W, H, d, _, tols = jax.lax.while_loop(cond, body, st0)
+        return W, H, d, it, tols
+
     specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
                P(AXIS, None, None), P(AXIS), P(None))
-    plain_step = jax.jit(jax.shard_map(
-        _plain, mesh=mesh,
-        in_specs=specs_a + (P(None, None), P(AXIS, None), P(), P(), P(), P()),
-        out_specs=(P(None, None), P(AXIS, None), P(None), P()),
+    extra_specs = ((P(None), P(), P(), P(), P(), P(), P()) if masked
+                   else (P(), P(), P(), P(), P()))
+    return jax.jit(jax.shard_map(
+        _loop, mesh=mesh,
+        in_specs=specs_a + (P(None, None), P(AXIS, None)) + extra_specs,
+        out_specs=(P(None, None), P(AXIS, None), P(None), P(), P()),
         check_vma=False))
-    masked_step = jax.jit(jax.shard_map(
-        _masked, mesh=mesh,
-        in_specs=specs_a + (P(None, None), P(AXIS, None), P(None), P(), P()),
-        out_specs=(P(None, None), P(AXIS, None), P(None), P()),
+
+
+def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
+                               maxit: int, trace_every: int,
+                               max_traces: int):
+    """The whole masked-CV fit — trace schedule, overfit score, early stop —
+    as ONE device program under ``shard_map``; the multi-chip twin of
+    solvers/ard.py:_ard_loop_device with identical bookkeeping (incl. the
+    reference's break-before-increment on early stop,
+    reference:src/singlet.cpp:1106-1141)."""
+    fns = _build_local_fns(data, inv_density)
+    masked = fns["masked"]
+    mse = fns["mse"]
+    mesh = data.mesh
+
+    def _loop(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H, seed,
+              L1, L2, k_true, tol_target, overfit_threshold):
+        k = W.shape[1]
+        nanf = jnp.float32(jnp.nan)
+
+        def cond(st):
+            it, _, _, _, tolv, stopped = st[:6]
+            return (~stopped) & (it < maxit) & (tolv > tol_target)
+
+        def body(st):
+            (it, W, H, d, _, stopped, min_err, n_tr, tmse, t_iters, scores,
+             tols) = st
+            W, H, d, tolv = masked(a_idx, a_val, at_idx, at_val, ne_loc,
+                                   gene_ne, W, H, seed, L1, L1, L2, L2,
+                                   k_true)
+            tols = tols.at[it].set(tolv)
+
+            def with_trace(args):
+                min_err, n_tr, tmse, t_iters, scores, stopped = args
+                err = mse(a_idx, a_val, W, d, H, seed)
+                min_err = jnp.minimum(min_err, err)
+                score = (err - min_err) / (err + min_err)
+                tmse = tmse.at[n_tr].set(err)
+                t_iters = t_iters.at[n_tr].set(it)
+                scores = scores.at[n_tr].set(score)
+                return (min_err, n_tr + 1, tmse, t_iters, scores,
+                        score > overfit_threshold)
+
+            traced = (it % trace_every) == 0
+            min_err, n_tr, tmse, t_iters, scores, stopped = jax.lax.cond(
+                traced, with_trace, lambda a: a,
+                (min_err, n_tr, tmse, t_iters, scores, stopped))
+            it = jnp.where(stopped, it, it + 1)  # break before it+=1
+            return (it, W, H, d, tolv, stopped, min_err, n_tr, tmse,
+                    t_iters, scores, tols)
+
+        st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
+               jnp.float32(1.0), jnp.bool_(False), jnp.float32(jnp.inf),
+               jnp.int32(0), jnp.full((max_traces,), nanf),
+               jnp.full((max_traces,), -1, jnp.int32),
+               jnp.full((max_traces,), nanf),
+               jnp.full((maxit,), nanf))
+        (it, W, H, d, _, stopped, _, n_tr, tmse, t_iters, scores,
+         tols) = jax.lax.while_loop(cond, body, st0)
+        return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
+
+    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
+               P(AXIS, None, None), P(AXIS), P(None))
+    return jax.jit(jax.shard_map(
+        _loop, mesh=mesh,
+        in_specs=specs_a + (P(None, None), P(AXIS, None), P(None),
+                            P(), P(), P(), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P(), P(), P(),
+                   P(None), P(None), P(None), P(None)),
         check_vma=False))
-    mse_fn = jax.jit(jax.shard_map(
-        _mse, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(None, None), P(None),
-                  P(AXIS, None), P(None)),
-        out_specs=P(),
-        check_vma=False))
-    return plain_step, masked_step, mse_fn
+
+
+def _as_pair(x) -> Tuple[float, float]:
+    if isinstance(x, (tuple, list)):
+        return float(x[0]), float(x[1] if len(x) > 1 else x[0])
+    return float(x), float(x)
 
 
 class ShardedEllEngine:
     """Dataset-resident multi-chip sparse NMF engine.
 
-    Holds the sharded ELL planes plus the compiled step functions (cached
-    per mask density) so a rank search re-uses compilations across fits —
-    the analogue of the reference keeping A/At alive for a whole
-    ``ard_nmf`` search (reference:R/ard_nmf.R:57-97). This is the engine
-    the drivers route to when given a ``mesh``.
+    Holds the sharded ELL planes plus the compiled step/loop programs
+    (cached per mask density and loop statics) so a rank search re-uses
+    compilations across fits — the analogue of the reference keeping A/At
+    alive for a whole ``ard_nmf`` search (reference:R/ard_nmf.R:57-97),
+    plus ``k_bucket`` factor padding so distinct ranks share programs.
+    This is the engine the drivers route to when given a ``mesh``.
     """
 
-    def __init__(self, A: sp.spmatrix, mesh: Optional[Mesh] = None,
+    def __init__(self, A: Optional[sp.spmatrix], mesh: Optional[Mesh] = None,
                  cell_block: int = 2048, gene_block: int = 2048,
                  data: Optional[ShardedEllData] = None) -> None:
         self.mesh = (data.mesh if data is not None
@@ -309,6 +639,7 @@ class ShardedEllEngine:
         self.data = data if data is not None else shard_ell_data(
             A, self.mesh, cell_block=cell_block, gene_block=gene_block)
         self._steps = {}
+        self._loops = {}
 
     # driver-facing geometry (mirrors the provider protocol)
     @property
@@ -329,61 +660,124 @@ class ShardedEllEngine:
                 self.data, inv_density)
         return self._steps[inv_density]
 
-    def _state(self, k: int, w_init, seed: int):
+    def fit_loop(self, inv_density: int, maxit: int, masked: bool):
+        key = ("fit", inv_density, maxit, masked)
+        if key not in self._loops:
+            self._loops[key] = build_sharded_ell_fit_loop(
+                self.data, inv_density, maxit, masked)
+        return self._loops[key]
+
+    def ard_loop(self, inv_density: int, maxit: int, trace_every: int,
+                 max_traces: int):
+        key = ("ard", inv_density, maxit, trace_every, max_traces)
+        if key not in self._loops:
+            self._loops[key] = build_sharded_ell_ard_loop(
+                self.data, inv_density, maxit, trace_every, max_traces)
+        return self._loops[key]
+
+    def _state(self, k: int, w_init, seed: int, k_bucket: int = 1):
         data = self.data
         k = int(k)
+        k_pad = (k if k_bucket <= 1
+                 else ((k + k_bucket - 1) // k_bucket) * k_bucket)
+        W = jnp.zeros((data.genes_pad, k_pad), jnp.float32)
         if w_init is None:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
-            W = jax.random.uniform(key, (data.genes_pad, k),
+            w = jax.random.uniform(key, (data.genes_pad, k),
                                    dtype=jnp.float32)
-            W = jnp.where(
+            w = jnp.where(
                 (jnp.arange(data.genes_pad) < data.genes_true)[:, None],
-                W, 0.0)
+                w, 0.0)
+            W = W.at[:, :k].set(w)
         else:
-            W = jnp.zeros((data.genes_pad, k), jnp.float32)
-            W = W.at[: w_init.shape[0]].set(
+            W = W.at[: w_init.shape[0], :k].set(
                 jnp.asarray(w_init, jnp.float32))
         W = jax.device_put(W, NamedSharding(self.mesh, P(None, None)))
-        H = jax.device_put(jnp.zeros((data.cells_pad, k), jnp.float32),
+        H = jax.device_put(jnp.zeros((data.cells_pad, k_pad), jnp.float32),
                            NamedSharding(self.mesh, P(AXIS, None)))
         args = (data.a_idx, data.a_val, data.at_idx, data.at_val,
                 data.nonempty, data.gene_nonempty)
-        return W, H, args
+        return W, H, args, k_pad
 
     # ---------------------------------------------------------------- fits
     def fit(self, k: int, tol: float = 1e-4, maxit: int = 100,
             L1=0.01, L2=0.0, seed: int = 0, verbose: bool = False,
             w_init: Optional[np.ndarray] = None,
             masked: bool = False, inv_density: int = 20,
-            mask_seed: int = 0):
+            mask_seed: int = 0,
+            checkpoint: Optional[Union[str, CheckpointManager]] = None):
         """Plain (or masked, without traces) sharded fit; returns the same
-        dict shape ``sharded_ell_nmf_fit`` always has."""
-        plain_step, masked_step, mse_fn = self.steps(inv_density)
-        W, H, args = self._state(k, w_init, seed)
-        d = jnp.ones((int(k),), jnp.float32)
+        dict shape ``sharded_ell_nmf_fit`` always has. L1/L2 may be scalars
+        or (w, h) pairs — both sides reach both half-updates (the masked
+        path previously dropped the w side; now supported)."""
+        k = int(k)
+        _, masked_step, mse_fn = self.steps(inv_density)
+        W, H, args, _ = self._state(k, w_init, seed)
         sp_ = seed_pair(mask_seed)
-        L1_w, L1_h = (L1 if isinstance(L1, (tuple, list)) else (L1, L1))
-        L2_w, L2_h = (L2 if isinstance(L2, (tuple, list)) else (L2, L2))
+        L1_w, L1_h = _as_pair(L1)
+        L2_w, L2_h = _as_pair(L2)
 
-        tol_ = 1.0
+        mgr = resolve_manager(checkpoint)
         traces = []
         it = 0
-        while it < maxit and tol_ > tol:
+        tol_ = 1.0
+        d = jnp.ones((k,), jnp.float32)
+        ckpt_config = CheckpointManager.config_of(
+            algo="sharded_ell_fit", k=k, masked=bool(masked),
+            genes_pad=int(self.data.genes_pad),
+            cells_pad=int(self.data.cells_pad), L1=[L1_w, L1_h],
+            L2=[L2_w, L2_h], seed=int(seed), mask_seed=int(mask_seed),
+            inv_density=int(inv_density))
+        if mgr is not None:
+            st = mgr.restore(ckpt_config, verbose=bool(verbose))
+            if st is not None:
+                W = jax.device_put(jnp.asarray(st["W"]),
+                                   NamedSharding(self.mesh, P(None, None)))
+                H = jax.device_put(jnp.asarray(st["H"]),
+                                   NamedSharding(self.mesh, P(AXIS, None)))
+                d = jnp.asarray(st["d"])
+                traces = list(st["tol_trace"])
+                it = int(st["it"])
+                tol_ = traces[-1] if traces else 1.0
+
+        if mgr is None:
+            loop = self.fit_loop(inv_density, int(maxit), bool(masked))
             if masked:
-                W, H, d, tol_j = masked_step(*args, W, H, sp_,
-                                             jnp.float32(L1_h),
-                                             jnp.float32(L2_h))
+                W, H, d, n_it, tols = loop(
+                    *args, W, H, sp_, jnp.float32(L1_h), jnp.float32(L1_w),
+                    jnp.float32(L2_h), jnp.float32(L2_w), jnp.int32(k),
+                    jnp.float32(tol))
             else:
-                W, H, d, tol_j = plain_step(*args, W, H,
-                                            jnp.float32(L1_h),
-                                            jnp.float32(L1_w),
-                                            jnp.float32(L2_h),
-                                            jnp.float32(L2_w))
-            tol_ = float(tol_j)
-            traces.append(tol_)
+                W, H, d, n_it, tols = loop(
+                    *args, W, H, jnp.float32(L1_h), jnp.float32(L1_w),
+                    jnp.float32(L2_h), jnp.float32(L2_w), jnp.float32(tol))
+            n = int(n_it)
+            traces = [float(t) for t in np.asarray(tols[:n])]
             if verbose:
-                print(f"{it + 1:4d} | {tol_:8.2e}")
-            it += 1
+                for i, t in enumerate(traces):
+                    print(f"{i + 1:4d} | {t:8.2e}")
+        else:
+            plain_step = self.steps(inv_density)[0]
+            while it < maxit and tol_ > tol:
+                if masked:
+                    W, H, d, tol_j = masked_step(
+                        *args, W, H, sp_, jnp.float32(L1_h),
+                        jnp.float32(L1_w), jnp.float32(L2_h),
+                        jnp.float32(L2_w), jnp.int32(k))
+                else:
+                    W, H, d, tol_j = plain_step(*args, W, H,
+                                                jnp.float32(L1_h),
+                                                jnp.float32(L1_w),
+                                                jnp.float32(L2_h),
+                                                jnp.float32(L2_w))
+                tol_ = float(tol_j)
+                traces.append(tol_)
+                if verbose:
+                    print(f"{it + 1:4d} | {tol_:8.2e}")
+                it += 1
+                mgr.maybe_save(it, dict(
+                    ckpt_config, W=np.asarray(W), H=np.asarray(H),
+                    d=np.asarray(d), tol_trace=traces))
 
         out = dict(
             w=np.asarray(W[: self.data.genes_true]),
@@ -400,45 +794,112 @@ class ShardedEllEngine:
                 inv_density: int = 20, tol: float = 1e-4, maxit: int = 100,
                 L1: float = 0.01, L2: float = 0.0,
                 overfit_threshold: float = 1e-3, trace_test_mse: int = 1,
-                verbose: int = 0, init_seed: int = 0):
+                verbose: int = 0, init_seed: int = 0,
+                checkpoint: Optional[Union[str, CheckpointManager]] = None,
+                k_bucket: int = 8):
         """Masked fit with test-MSE traces and overfit early-stop — the
         multi-chip twin of ``solvers.ard.ard_nmf_fit`` (semantics from
         reference:src/singlet.cpp:1106-1141), consumed by the drivers'
-        rank-search loops unchanged."""
+        rank-search loops unchanged. Runs as one fused device program
+        unless checkpointing is requested (that path needs per-iteration
+        host control). ``k_bucket`` pads the compiled factor count so rank
+        searches share programs."""
         from singlet_tpu.solvers.ard import ArdFitResult
         from singlet_tpu.utils import vprint
 
+        k = int(k)
         _, masked_step, mse_fn = self.steps(inv_density)
-        W, H, args = self._state(k, w_init, init_seed)
-        d = jnp.ones((int(k),), jnp.float32)
+        mgr = resolve_manager(checkpoint)
+        W, H, args, k_pad = self._state(k, w_init, init_seed,
+                                        k_bucket if mgr is None else 1)
+        d = jnp.ones((k_pad,), jnp.float32)
         sp_ = seed_pair(mask_seed)
 
         test_mse_t, iter_t, tol_t, score_t = [], [], [], []
         tol_ = 1.0
         it = 0
         stopped_early = False
-        while it < maxit and tol_ > tol:
-            W, H, d, tol_j = masked_step(*args, W, H, sp_, jnp.float32(L1),
-                                         jnp.float32(L2))
-            tol_ = float(tol_j)
-            if it % trace_test_mse == 0:
-                err = float(mse_fn(self.data.a_idx, self.data.a_val,
-                                   W, d, H, sp_))
-                test_mse_t.append(err)
-                iter_t.append(it)
-                tol_t.append(tol_)
-                min_err = min(test_mse_t)
-                score = (err - min_err) / (err + min_err)
-                score_t.append(score)
-                vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} | {score:8.2e}")
-                if score > overfit_threshold:
-                    stopped_early = True
-                    break
-            else:
-                vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} |        -")
-            it += 1
 
-        if it % trace_test_mse != 0 and not stopped_early:
+        if mgr is None:
+            max_traces = (maxit + trace_test_mse - 1) // trace_test_mse + 1
+            loop = self.ard_loop(inv_density, int(maxit),
+                                 int(trace_test_mse), int(max_traces))
+            (W, H, d, it_j, stopped_j, n_tr_j, tmse_a, titer_a, score_a,
+             tols_a) = loop(*args, W, H, sp_, jnp.float32(L1),
+                            jnp.float32(L2), jnp.int32(k), jnp.float32(tol),
+                            jnp.float32(overfit_threshold))
+            it = int(it_j)
+            stopped_early = bool(stopped_j)
+            n_tr = int(n_tr_j)
+            tols_np = np.asarray(tols_a)
+            test_mse_t = [float(v) for v in np.asarray(tmse_a[:n_tr])]
+            iter_t = [int(v) for v in np.asarray(titer_a[:n_tr])]
+            tol_t = [float(tols_np[i]) for i in iter_t]
+            score_t = [float(v) for v in np.asarray(score_a[:n_tr])]
+            last_idx = it if stopped_early else it - 1
+            tol_ = float(tols_np[last_idx]) if last_idx >= 0 else tol_
+            if verbose >= 3:
+                ti = {i: j for j, i in enumerate(iter_t)}
+                n_steps = it if not stopped_early else it + 1
+                for i in range(n_steps):
+                    if i in ti:
+                        vprint(verbose, 3,
+                               f"{i + 1:4d} | {tols_np[i]:8.2e} | "
+                               f"{score_t[ti[i]]:8.2e}")
+                    else:
+                        vprint(verbose, 3,
+                               f"{i + 1:4d} | {tols_np[i]:8.2e} |        -")
+        else:
+            ckpt_config = CheckpointManager.config_of(
+                algo="sharded_ell_ard", k=k,
+                genes_pad=int(self.data.genes_pad),
+                cells_pad=int(self.data.cells_pad), L1=L1, L2=L2,
+                mask_seed=int(mask_seed), inv_density=int(inv_density),
+                trace=int(trace_test_mse))
+            st = mgr.restore(ckpt_config, verbose=verbose >= 1)
+            if st is not None:
+                W = jax.device_put(jnp.asarray(st["W"]),
+                                   NamedSharding(self.mesh, P(None, None)))
+                H = jax.device_put(jnp.asarray(st["H"]),
+                                   NamedSharding(self.mesh, P(AXIS, None)))
+                d = jnp.asarray(st["d"])
+                test_mse_t = list(st["test_mse"])
+                iter_t = [int(i) for i in st["iter"]]
+                tol_t = list(st["tol"])
+                score_t = list(st["score_overfit"])
+                it = int(st["it"])
+                tol_ = tol_t[-1] if tol_t else 1.0
+            while it < maxit and tol_ > tol:
+                W, H, d, tol_j = masked_step(*args, W, H, sp_,
+                                             jnp.float32(L1),
+                                             jnp.float32(L1),
+                                             jnp.float32(L2),
+                                             jnp.float32(L2), jnp.int32(k))
+                tol_ = float(tol_j)
+                if it % trace_test_mse == 0:
+                    err = float(mse_fn(self.data.a_idx, self.data.a_val,
+                                       W, d, H, sp_))
+                    test_mse_t.append(err)
+                    iter_t.append(it)
+                    tol_t.append(tol_)
+                    min_err = min(test_mse_t)
+                    score = (err - min_err) / (err + min_err)
+                    score_t.append(score)
+                    vprint(verbose, 3,
+                           f"{it + 1:4d} | {tol_:8.2e} | {score:8.2e}")
+                    if score > overfit_threshold:
+                        stopped_early = True
+                        break
+                else:
+                    vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} |        -")
+                it += 1
+                mgr.maybe_save(it, dict(
+                    ckpt_config, W=np.asarray(W), H=np.asarray(H),
+                    d=np.asarray(d), test_mse=test_mse_t, iter=iter_t,
+                    tol=tol_t, score_overfit=score_t))
+
+        if (it % trace_test_mse != 0 and not stopped_early
+                and (not iter_t or iter_t[-1] != it)):
             err = float(mse_fn(self.data.a_idx, self.data.a_val,
                                W, d, H, sp_))
             test_mse_t.append(err)
@@ -448,9 +909,9 @@ class ShardedEllEngine:
             score_t.append((err - min_err) / (err + min_err))
 
         return ArdFitResult(
-            w=np.asarray(W[: self.data.genes_true]),
-            d=np.asarray(d),
-            h=np.asarray(H[: self.data.cells_true]).T,
+            w=np.asarray(W[: self.data.genes_true, :k]),
+            d=np.asarray(d[:k]),
+            h=np.asarray(H[: self.data.cells_true, :k]).T,
             test_mse=test_mse_t, iter=iter_t, tol=tol_t,
             score_overfit=score_t,
         )
@@ -458,13 +919,15 @@ class ShardedEllEngine:
 
 def sharded_ell_nmf_fit(A: sp.spmatrix, k: int, mesh: Optional[Mesh] = None,
                         tol: float = 1e-4, maxit: int = 100,
-                        L1: float = 0.01, L2: float = 0.0, seed: int = 0,
+                        L1=0.01, L2=0.0, seed: int = 0,
                         masked: bool = False, inv_density: int = 20,
                         mask_seed: int = 0, verbose: bool = False,
                         w_init: Optional[np.ndarray] = None,
-                        data: Optional[ShardedEllData] = None):
+                        data: Optional[ShardedEllData] = None,
+                        checkpoint=None):
     """Sparse sharded NMF fit. Semantics identical to the dense engines."""
     engine = ShardedEllEngine(A, mesh=mesh, data=data)
     return engine.fit(k, tol=tol, maxit=maxit, L1=L1, L2=L2, seed=seed,
                       verbose=verbose, w_init=w_init, masked=masked,
-                      inv_density=inv_density, mask_seed=mask_seed)
+                      inv_density=inv_density, mask_seed=mask_seed,
+                      checkpoint=checkpoint)

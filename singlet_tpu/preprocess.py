@@ -105,3 +105,72 @@ def normit(x):
     ranks = rankdata(vals, method="average")
     flat[ok] = norm.ppf((ranks - 0.5) / n_unique)
     return flat.reshape(x.shape)
+
+
+def variable_features_vst(counts, n_features: int = 2000,
+                          loess_span: float = 0.3,
+                          clip_max: float = None) -> np.ndarray:
+    """Rank genes by vst standardized variance (Seurat FindVariableFeatures
+    selection.method="vst" — the producer of the ``@var.features`` slot the
+    reference indexes at reference:R/RunNMF.R:73-74).
+
+    Per gene: fit expected log10(variance) as a local quadratic (loess-style,
+    tricube weights, span fraction of genes) of log10(mean); standardize
+    counts by the expected sd, clip at sqrt(n_cells), and rank genes by the
+    variance of the clipped standardized values. Returns the indices of the
+    top ``n_features`` genes (descending standardized variance).
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(counts).astype(np.float64)   # genes x cells
+    genes, n = A.shape
+    if clip_max is None:
+        clip_max = float(np.sqrt(n))
+    mu = np.asarray(A.mean(axis=1)).ravel()
+    ex2 = np.asarray(A.multiply(A).mean(axis=1)).ravel()
+    var = (ex2 - mu ** 2) * n / max(n - 1, 1)
+    ok = var > 0
+    if ok.sum() < 3:
+        return np.argsort(-var, kind="stable")[:n_features]
+
+    x = np.log10(mu[ok])
+    y = np.log10(var[ok])
+
+    # loess-style local quadratic on an evaluation grid, interpolated back
+    order = np.argsort(x)
+    xs, ys = x[order], y[order]
+    m = xs.size
+    win = max(int(np.ceil(loess_span * m)), 5)
+    grid = np.linspace(xs[0], xs[-1], min(200, m))
+    fitted_grid = np.empty_like(grid)
+    for gi, gx in enumerate(grid):
+        # nearest `win` points around gx
+        pos = np.searchsorted(xs, gx)
+        lo = max(0, min(pos - win // 2, m - win))
+        sl = slice(lo, lo + win)
+        xi, yi = xs[sl], ys[sl]
+        dmax = max(np.max(np.abs(xi - gx)), 1e-12)
+        wts = (1 - np.minimum(np.abs(xi - gx) / dmax, 1.0) ** 3) ** 3
+        X = np.stack([np.ones_like(xi), xi - gx, (xi - gx) ** 2], axis=1)
+        Xw = X * wts[:, None]
+        beta, *_ = np.linalg.lstsq(Xw.T @ X, Xw.T @ yi, rcond=None)
+        fitted_grid[gi] = beta[0]
+    fitted = np.interp(x, grid, fitted_grid)
+
+    exp_sd = np.zeros(genes)
+    exp_sd[ok] = np.sqrt(10.0 ** fitted)
+
+    # standardized variance with upper clipping, computed sparsely:
+    # sum over nonzeros of min(clip_max, (x - mu)/sd)^2 plus the zeros'
+    # contribution (n - nnz) * (mu/sd)^2, divided by (n - 1)
+    std_var = np.zeros(genes)
+    indptr, vals = A.indptr, A.data
+    for g in np.where(ok)[0]:
+        sdg = exp_sd[g]
+        z = (vals[indptr[g]:indptr[g + 1]] - mu[g]) / sdg
+        z = np.minimum(z, clip_max)
+        nnz = z.size
+        z0 = min(clip_max, -mu[g] / sdg)
+        std_var[g] = (np.sum(z ** 2) + (n - nnz) * z0 ** 2) / max(n - 1, 1)
+
+    return np.argsort(-std_var, kind="stable")[:n_features]

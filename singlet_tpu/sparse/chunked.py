@@ -159,12 +159,16 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 # Disk staging (write_IVCSC / save_IVSparse / read_IVSparse analogue)
 # ---------------------------------------------------------------------------
 
-def stage_chunks(directory: str, chunks: Sequence[ChunkSource]) -> str:
+def stage_chunks(directory: str, chunks: Sequence[ChunkSource],
+                 value_compress: bool = False) -> str:
     """Stage column chunks to compressed SVC1 shards + a JSON manifest.
 
     Counterpart of ``write_IVCSC``/``save_IVSparse``
     (reference:src/singlet.cpp:843-945): persists the dataset in chunked
     compressed form so later fits stream it without re-ingesting the source.
+    ``value_compress`` uses the v2 value-grouped encoding (VCSC analogue):
+    each distinct value stored once per column — smaller for redundant
+    values like raw or log-normalized counts.
     Unlike the reference, the transpose is NOT staged — the streaming
     transpose in :func:`ell_pair_from_chunks` rebuilds it in one pass, which
     profiles faster than a second disk read at SVC1 decode speeds.
@@ -179,7 +183,8 @@ def stage_chunks(directory: str, chunks: Sequence[ChunkSource]) -> str:
         if meta["genes"] is None:
             meta["genes"] = int(M.shape[0])
         name = f"chunk_{i:05d}.svc"
-        native.svc_write(os.path.join(directory, name), M)
+        native.svc_write(os.path.join(directory, name), M,
+                         value_compress=value_compress)
         meta["chunks"].append({"file": name, "cols": int(M.shape[1]),
                                "nnz": int(M.nnz)})
         meta["cells"] += int(M.shape[1])

@@ -116,10 +116,35 @@ class EllMatrix:
 
     # ----------------------------------------------------------- products
     def t_matmul(self, X: jnp.ndarray) -> jnp.ndarray:
-        """P^T @ X by gather-reduce: (cols_pad, k). X: (rows_pad, k)."""
-        gathered = jnp.take(X, self.idx, axis=0)          # (cols, nnz, k)
-        return jnp.einsum("cp,cpk->ck", self.val, gathered,
-                          precision=MM_PRECISION)
+        """P^T @ X: (cols_pad, k). X: (rows_pad, k).
+
+        Small operands gather-reduce directly; large ones block over
+        columns (densify one tile, one MXU matmul) because the gather's
+        (cols, nnz, k) intermediate is materialized by XLA — at
+        million-cell scale that is 100s of GB. The densified path spends
+        1/density extra FLOPs on the MXU, orders of magnitude cheaper than
+        the gather's HBM traffic."""
+        k = X.shape[1]
+        gathered_bytes = 4 * self.cols_pad * self.idx.shape[1] * k
+        if gathered_bytes <= (1 << 28) or self.cols_pad % self.block != 0:
+            gathered = jnp.take(X, self.idx, axis=0)      # (cols, nnz, k)
+            return jnp.einsum("cp,cpk->ck", self.val, gathered,
+                              precision=MM_PRECISION)
+
+        block = self.block
+
+        def body(_, bi):
+            start = bi * block
+            idx = jax.lax.dynamic_slice_in_dim(self.idx, start, block, 0)
+            val = jax.lax.dynamic_slice_in_dim(self.val, start, block, 0)
+            tile = jnp.zeros((block, self.rows_pad), val.dtype)
+            rows = jnp.arange(block)[:, None]
+            tile = tile.at[rows, idx].add(val)
+            return None, jnp.dot(tile, X, precision=MM_PRECISION)
+
+        _, Bs = jax.lax.scan(body, None,
+                             jnp.arange(self.cols_pad // block))
+        return Bs.reshape(self.cols_pad, k)
 
     def col_block(self, col_start, block: int) -> jnp.ndarray:
         """Densified (rows_pad, block) tile — scatter nz into zeros."""

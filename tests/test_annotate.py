@@ -94,3 +94,43 @@ def test_annotate_recovers_planted_association(rng):
     assert top_T["factor"] == "NMF_1" and top_T["p"] < 1e-4
     assert top_B["factor"] == "NMF_2" and top_B["p"] < 1e-4
     assert "annotations" in model.misc
+
+
+def test_robust_ebayes_resists_outlier_variances(rng):
+    """The robust prior fit (limma robust=TRUE analogue) must keep the
+    prior scale anchored to the bulk when a few rows have wildly inflated
+    variances, and give those outlier rows near-zero prior df (their own
+    variance survives the squeeze)."""
+    from singlet_tpu.annotate import fit_f_dist, fit_f_dist_robust
+
+    df1 = 20.0
+    bulk = rng.chisquare(int(df1), 60) / df1 * 2.0   # s2 ~ 2.0 * chi2/df
+    spiked = np.concatenate([bulk, [400.0, 900.0]])  # two huge outliers
+    s20_plain, df0_plain = fit_f_dist(spiked, df1)
+    s20_rob, df0_rob, df0_rows = fit_f_dist_robust(spiked, df1)
+    s20_clean, _ = fit_f_dist(bulk, df1)
+    # robust scale stays near the clean-bulk estimate; classic fit degrades
+    assert abs(np.log(s20_rob / s20_clean)) < abs(np.log(s20_plain / s20_clean)) + 1e-12
+    assert 0.5 < s20_rob / s20_clean < 2.0
+    # outlier rows lose their prior df (own variance survives the squeeze);
+    # bulk rows keep a large prior df
+    assert df0_rows[-1] < 1e-3 and df0_rows[-2] < 1e-3
+    assert np.median(df0_rows[:-2]) > 100.0
+
+
+def test_annotate_robust_flag_paths(rng):
+    k, cells = 4, 45
+    types = np.array(["T"] * 15 + ["B"] * 15 + ["NK"] * 15, dtype=object)
+    h = rng.random((k, cells)) * 0.1
+    h[0, types == "T"] += 1.0
+    h[3] += rng.normal(0, 5.0, cells)   # hypervariable factor (outlier row)
+    h = np.abs(h)
+    model = NMFModel(w=rng.random((10, k)), d=np.ones(k), h=h)
+    res_r = annotate_nmf(model, {"ct": types}, robust=True,
+                         annotation_name="a_r")
+    res_p = annotate_nmf(model, {"ct": types}, robust=False,
+                         annotation_name="a_p")
+    for res in (res_r, res_p):
+        df = res["ct"]
+        top_T = df[df["group"] == "T"].sort_values("p").iloc[0]
+        assert top_T["factor"] == "NMF_1" and top_T["p"] < 1e-3

@@ -117,3 +117,42 @@ def test_h5ad_round_trip(tmp_path):
                                    exp.reductions["nmf"].loadings)
         np.testing.assert_allclose(f["uns"]["nmf"]["d"][:],
                                    exp.reductions["nmf"].d)
+
+
+def test_variable_features_vst_finds_high_variance_genes(rng):
+    """Genes with real biological variance (bimodal across cells) must rank
+    above Poisson-noise genes of the same mean."""
+    import scipy.sparse as sp
+    from singlet_tpu.preprocess import variable_features_vst
+
+    genes, cells = 120, 400
+    base = 10 ** rng.uniform(-1.0, 0.8, genes)  # continuous mean spectrum
+    lam = np.tile(base[:, None], (1, cells))
+    hv = [3, 17, 58, 99]  # planted variable genes: on/off across two halves
+    for g in hv:
+        lam[g, : cells // 2] = 0.05
+        lam[g, cells // 2:] = 4.0   # mean ~2 (mid-spectrum), huge extra var
+    counts = sp.csc_matrix(rng.poisson(lam).astype(np.float32))
+    top = variable_features_vst(counts, n_features=10)
+    assert set(hv).issubset(set(top.tolist()))
+
+
+def test_experiment_var_features_path(rng):
+    import scipy.sparse as sp
+    from singlet_tpu.experiment import Experiment
+
+    genes, cells = 80, 150
+    base = 10 ** rng.uniform(-1.0, 0.7, genes)
+    lam = np.tile(base[:, None], (1, cells))
+    for g in (5, 40):
+        lam[g, : cells // 2] = 0.1
+        lam[g, cells // 2:] = 5.0
+    counts = sp.csc_matrix(rng.poisson(lam).astype(np.float32))
+    exp = Experiment(counts=counts,
+                     gene_names=[f"g{i}" for i in range(genes)],
+                     cell_names=[f"c{i}" for i in range(cells)])
+    exp.find_variable_features(n_features=20)
+    assert "g5" in exp.var_features and "g40" in exp.var_features
+    exp.run_nmf(k=3, features="var.features", verbose=0)
+    model = exp.reductions["nmf"]
+    assert model.w.shape[0] == 20   # fit restricted to the variable genes

@@ -78,3 +78,54 @@ def test_run_gsea_matrices(rng):
     # the planted set should be the most significant entry for NMF_1
     assert padj["NMF_1"].idxmax() == "SET_A"
     assert "gsea" in model.misc
+
+
+def test_multilevel_resolves_extreme_pvalues(rng):
+    """The multilevel estimator must resolve p far below 1/sample_size —
+    the capability fgseaMultilevel adds over the simple method."""
+    from singlet_tpu.gsea import fgsea_multilevel
+
+    genes = [f"g{i}" for i in range(400)]
+    vals = rng.random(400) * 0.1
+    vals[:25] += 5.0  # extreme planted block: truly astronomical enrichment
+    ranks = pd.Series(vals, index=genes)
+    pathways = {"PLANTED": genes[:25],
+                "RANDOM": list(rng.choice(genes[30:], 25, replace=False))}
+    df = fgsea_multilevel(ranks, pathways, min_size=10, max_size=100,
+                          sample_size=51, score_type="pos", seed=3)
+    df = df.set_index("pathway")
+    # resolution far beyond 1/(sample_size+1) ~ 0.02
+    assert df.loc["PLANTED", "pval"] < 1e-6
+    assert df.loc["RANDOM", "pval"] > 0.05
+    assert df.loc["PLANTED", "ES"] > 0.9
+
+
+def test_multilevel_agrees_with_simple_in_resolvable_range(rng):
+    """For moderate p-values both estimators must agree (same tail)."""
+    from singlet_tpu.gsea import fgsea_multilevel
+
+    genes = [f"g{i}" for i in range(300)]
+    vals = rng.random(300)
+    vals[:18] += 0.3  # mild enrichment: p in the simple-resolvable range
+    ranks = pd.Series(vals, index=genes)
+    pathways = {"MILD": genes[:18]}
+    p_simple = fgsea_simple(ranks, pathways, min_size=10, max_size=100,
+                            nperm=4000, score_type="pos",
+                            seed=4)["pval"].iloc[0]
+    p_multi = fgsea_multilevel(ranks, pathways, min_size=10, max_size=100,
+                               sample_size=101, score_type="pos",
+                               seed=4)["pval"].iloc[0]
+    assert 0.0003 < p_simple < 0.6
+    # same order of magnitude (both are Monte Carlo estimates)
+    assert 0.2 < p_multi / p_simple < 5.0
+
+
+def test_run_gsea_multilevel_default(rng):
+    genes = [f"g{i}" for i in range(200)]
+    w = rng.random((200, 2)) * 0.1
+    w[:15, 0] += 2.0
+    sets = {"SET_A": genes[:15], "SET_B": genes[50:80]}
+    model = NMFModel(w=w, d=np.ones(2), h=rng.random((2, 20)),
+                     gene_names=genes)
+    out = run_gsea(model, sets, min_size=10, max_size=100, seed=2)
+    assert out["padj"]["NMF_1"].idxmax() == "SET_A"

@@ -89,3 +89,48 @@ def test_svc_roundtrip(lib_ok, tmp_path, rng):
     import os
     raw = A.nnz * 8 + (A.shape[1] + 1) * 8
     assert os.path.getsize(path) < raw
+
+
+def test_svc_v2_value_compressed_roundtrip(rng, tmp_path):
+    """v2 value-grouped shards (VCSC analogue) round-trip exactly and are
+    smaller than v1 for value-redundant matrices."""
+    import os
+    from singlet_tpu import native
+
+    if native._load() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    genes, cells = 300, 120
+    # redundant values: raw-count-like small integers
+    A = sp.random(genes, cells, density=0.2, random_state=7, format="csc",
+                  dtype=np.float32)
+    A.data = np.ceil(A.data * 4).astype(np.float32)  # values in {1..4}
+    p1 = str(tmp_path / "v1.svc")
+    p2 = str(tmp_path / "v2.svc")
+    native.svc_write(p1, A)
+    native.svc_write(p2, A, value_compress=True)
+    B1 = native.svc_read(p1)
+    B2 = native.svc_read(p2)
+    np.testing.assert_array_equal(B1.toarray(), A.toarray())
+    np.testing.assert_array_equal(B2.toarray(), A.toarray())
+    assert os.path.getsize(p2) < os.path.getsize(p1)
+
+
+def test_stage_chunks_value_compressed(rng, tmp_path):
+    from singlet_tpu import native
+    from singlet_tpu.sparse.chunked import stage_chunks, staged_chunk_loaders
+
+    if native._load() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    chunks = []
+    for s in (1, 2):
+        M = sp.random(50, 40, density=0.3, random_state=s, format="csc",
+                      dtype=np.float32)
+        M.data = np.ceil(M.data * 3).astype(np.float32)
+        chunks.append(M)
+    d = stage_chunks(str(tmp_path / "staged"), chunks, value_compress=True)
+    loaders = staged_chunk_loaders(d)
+    got = sp.hstack([ld() for ld in loaders]).tocsc()
+    want = sp.hstack(chunks).tocsc()
+    np.testing.assert_array_equal(got.toarray(), want.toarray())

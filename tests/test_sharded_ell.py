@@ -56,3 +56,154 @@ def test_sharded_ell_mesh_invariance(rng):
                              maxit=3, masked=True, inv_density=8, mask_seed=5)
     np.testing.assert_allclose(r2["w"], r8["w"], rtol=3e-4, atol=3e-5)
     np.testing.assert_allclose(r2["test_mse"], r8["test_mse"], rtol=1e-4)
+
+
+def test_local_ell_ingest_equals_full_ingest(rng, mesh8):
+    """Single-process twin of the multi-host ELL ingest: per-process chunk
+    (= all true columns here) must assemble bit-identical planes."""
+    from singlet_tpu.parallel.sharded_ell import (
+        shard_ell_data,
+        shard_ell_from_local,
+    )
+
+    A = _sparse(rng, genes=52, cells=72)
+    full = shard_ell_data(A, mesh8)
+    local = shard_ell_from_local(A, A.shape[1], mesh8)
+    for f in ("a_idx", "a_val", "at_idx", "at_val", "nonempty",
+              "gene_nonempty"):
+        np.testing.assert_array_equal(np.asarray(getattr(local, f)),
+                                      np.asarray(getattr(full, f)), err_msg=f)
+    assert (local.cell_block, local.gene_block) == (full.cell_block,
+                                                    full.gene_block)
+
+
+def test_fused_vs_host_loop_equivalence(rng, mesh8):
+    """The fused whole-fit device loop must reproduce the per-iteration
+    host loop (which the checkpoint path uses) exactly."""
+    from singlet_tpu.checkpoint import CheckpointManager
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    A = _sparse(rng)
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    eng = ShardedEllEngine(A, mesh=mesh8)
+    fused = eng.ard_fit(3, w_init=w0, mask_seed=9, inv_density=8, tol=0.0,
+                        maxit=5, trace_test_mse=2, k_bucket=1)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d, every=0)   # host loop, no actual saves
+        host = eng.ard_fit(3, w_init=w0, mask_seed=9, inv_density=8,
+                           tol=0.0, maxit=5, trace_test_mse=2,
+                           checkpoint=mgr)
+    np.testing.assert_allclose(fused.w, host.w, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(fused.test_mse, host.test_mse, rtol=1e-6)
+    assert fused.iter == host.iter
+    np.testing.assert_allclose(fused.score_overfit, host.score_overfit,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_k_bucket_invariance_on_mesh(rng, mesh8):
+    """Rank-bucketed (k padded to a multiple) sharded masked fits must equal
+    unbucketed fits — padded factor columns stay exactly zero."""
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    A = _sparse(rng)
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    eng = ShardedEllEngine(A, mesh=mesh8)
+    plain = eng.ard_fit(3, w_init=w0, mask_seed=4, inv_density=8, tol=0.0,
+                        maxit=4, trace_test_mse=2, k_bucket=1)
+    bucketed = eng.ard_fit(3, w_init=w0, mask_seed=4, inv_density=8,
+                           tol=0.0, maxit=4, trace_test_mse=2, k_bucket=8)
+    assert bucketed.w.shape == plain.w.shape == (A.shape[0], 3)
+    np.testing.assert_allclose(bucketed.w, plain.w, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(bucketed.test_mse, plain.test_mse, rtol=1e-4)
+    assert bucketed.iter == plain.iter
+
+
+def test_sharded_masked_per_side_penalties(rng, mesh8):
+    """A (w, h) L1 pair must reach both masked half-updates (previously the
+    w side was silently dropped)."""
+    from singlet_tpu.parallel.sharded_ell import sharded_ell_nmf_fit
+
+    A = _sparse(rng)
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    both = sharded_ell_nmf_fit(A, 3, mesh=mesh8, w_init=w0, tol=0.0, maxit=3,
+                               masked=True, inv_density=8, mask_seed=3,
+                               L1=(0.2, 0.0))
+    none = sharded_ell_nmf_fit(A, 3, mesh=mesh8, w_init=w0, tol=0.0, maxit=3,
+                               masked=True, inv_density=8, mask_seed=3,
+                               L1=(0.0, 0.0))
+    assert not np.allclose(both["w"], none["w"])
+
+
+def test_sharded_checkpoint_resume_identical(rng, mesh8, tmp_path):
+    """Mesh twin of test_checkpoint.py::test_ard_fit_resume_identical."""
+    from singlet_tpu.checkpoint import CheckpointManager
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    A = _sparse(rng)
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    eng = ShardedEllEngine(A, mesh=mesh8)
+    mgr_full = CheckpointManager(str(tmp_path / "full"), every=0)
+    full = eng.ard_fit(3, w_init=w0, mask_seed=5, inv_density=8, tol=0.0,
+                       maxit=6, trace_test_mse=1, checkpoint=mgr_full)
+    mgr = CheckpointManager(str(tmp_path / "resume"), every=2)
+    eng.ard_fit(3, w_init=w0, mask_seed=5, inv_density=8, tol=0.0,
+                maxit=4, trace_test_mse=1, checkpoint=mgr)
+    res = eng.ard_fit(3, w_init=w0, mask_seed=5, inv_density=8, tol=0.0,
+                      maxit=6, trace_test_mse=1, checkpoint=mgr)
+    np.testing.assert_array_equal(res.w, full.w)
+    assert res.test_mse == full.test_mse
+    assert res.iter == full.iter
+
+
+def test_largescale_synth_planes_consistent(rng):
+    """The closed-form large-scale operand's At planes must be the exact
+    transpose of its A planes (small-shape check of benchmarks/largescale)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.largescale import synth_ell_planes
+
+    genes, cells, p = 32, 96, 8
+    a_idx, a_val, at_cell, at_val = synth_ell_planes(genes, cells, p,
+                                                     step=7, xp=np)
+    A = np.zeros((genes, cells), np.float64)
+    for c in range(cells):
+        for j in range(p):
+            A[a_idx[c, j], c] += a_val[c, j]
+    At = np.zeros((cells, genes), np.float64)
+    for g in range(genes):
+        for s in range(at_cell.shape[1]):
+            At[at_cell[g, s], g] += at_val[g, s]
+    np.testing.assert_allclose(At, A.T, rtol=0, atol=0)
+    # regular bipartite: every cell has p nnz, every gene p*cells/genes
+    assert (A != 0).sum(axis=0).min() > 0
+
+
+def test_largescale_synth_fit_on_mesh(rng):
+    """Tiny-shape fit through the same ShardedEllData construction the
+    large-scale benchmark uses, on a 1-device mesh."""
+    from benchmarks.largescale import build_sharded_ell_synth
+    from singlet_tpu.parallel.sharded import make_mesh
+    from singlet_tpu.parallel.sharded_ell import (
+        ShardedEllEngine,
+        shard_ell_data,
+    )
+
+    genes, cells, p = 64, 256, 8
+    mesh1 = make_mesh(1)
+    data = build_sharded_ell_synth(genes, cells, p, mesh=mesh1,
+                                   cell_block=256, gene_block=64)
+    eng = ShardedEllEngine(None, data=data)
+    w0 = rng.random((genes, 3)).astype(np.float32)
+    out = eng.fit(3, w_init=w0, tol=0.0, maxit=3)
+
+    # ground truth: the same matrix through the scipy ingest path
+    from benchmarks.largescale import synth_ell_planes
+    a_idx, a_val, _, _ = synth_ell_planes(genes, cells, p, xp=np)
+    A = sp.csc_matrix(
+        (a_val.ravel(),
+         (a_idx.ravel(), np.repeat(np.arange(cells), p))),
+        shape=(genes, cells))
+    ref = ShardedEllEngine(A, mesh=mesh1).fit(3, w_init=w0, tol=0.0, maxit=3)
+    np.testing.assert_allclose(out["w"], ref["w"], rtol=3e-4, atol=3e-5)
