@@ -28,6 +28,11 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _hash_val(c, g):
     """Deterministic value in [0.1, 1.1) from (cell, gene) — jnp/np agnostic."""
@@ -41,26 +46,19 @@ def _hash_val(c, g):
 
 def synth_ell_planes(genes: int, cells: int, nnz_per_cell: int,
                      step: int = 9973, xp=np):
-    """(a_idx, a_val, at_idx, at_val) closed-form consistent ELL planes.
-
-    Requires cells % genes == 0 and gcd(step, genes) == 1. at_* row ids are
-    cell indices (global == local for a single shard).
+    """(a_idx, a_val) closed-form ELL A-planes: cell c's j-th nonzero sits
+    at gene (c + j*step) mod genes (distinct within a cell when
+    gcd(step, genes) == 1 and nnz_per_cell <= genes); values are a
+    (cell, gene) hash. The engine stores no transpose (the w-update
+    accumulates over cell blocks), so A-planes fully define the operand.
     """
-    assert cells % genes == 0, "cells must be a multiple of genes"
+    assert nnz_per_cell <= genes
     p = nnz_per_cell
-    M = cells // genes
     c = xp.arange(cells, dtype=xp.int32)[:, None]
     j = xp.arange(p, dtype=xp.int32)[None, :]
     a_idx = (c + j * step) % genes
     a_val = _hash_val(c + xp.zeros_like(a_idx), a_idx)
-
-    g = xp.arange(genes, dtype=xp.int32)[:, None]
-    jm = xp.arange(p * M, dtype=xp.int32)[None, :]
-    jj = jm // M
-    m = jm % M
-    at_cell = ((g - jj * step) % genes) + m * genes
-    at_val = _hash_val(at_cell, g + xp.zeros_like(at_cell))
-    return a_idx, a_val, at_cell, at_val
+    return a_idx, a_val
 
 
 def build_sharded_ell_synth(genes: int, cells: int, nnz_per_cell: int,
@@ -81,13 +79,11 @@ def build_sharded_ell_synth(genes: int, cells: int, nnz_per_cell: int,
 
     gen = jax.jit(lambda: synth_ell_planes(genes, cells, nnz_per_cell,
                                            xp=jnp))
-    a_idx, a_val, at_cell, at_val = gen()
+    a_idx, a_val = gen()
     sh = lambda spec: NamedSharding(mesh, spec)
     data = ShardedEllData(
         a_idx=jax.device_put(a_idx, sh(P(AXIS, None))),
         a_val=jax.device_put(a_val, sh(P(AXIS, None))),
-        at_idx=jax.device_put(at_cell[None], sh(P(AXIS, None, None))),
-        at_val=jax.device_put(at_val[None], sh(P(AXIS, None, None))),
         nonempty=jax.device_put(jnp.ones((cells,), bool), sh(P(AXIS))),
         gene_nonempty=jax.device_put(jnp.ones((genes,), bool), sh(P())),
         mesh=mesh, genes_true=genes, cells_true=cells,
@@ -118,16 +114,26 @@ def main():
     jax.block_until_ready(data.a_val)
     gen_s = time.perf_counter() - t0
 
-    eng = ShardedEllEngine(None, data=data)
-    plane_bytes = (data.a_idx.nbytes + data.a_val.nbytes
-                   + data.at_idx.nbytes + data.at_val.nbytes)
+    import tempfile
 
-    # warm fit (compile) then timed fit
-    eng.fit(args.k, tol=0.0, maxit=1, masked=args.masked, inv_density=20)
-    t0 = time.perf_counter()
-    out = eng.fit(args.k, tol=0.0, maxit=args.maxit, masked=args.masked,
-                  inv_density=20)
-    secs = time.perf_counter() - t0
+    from singlet_tpu.checkpoint import CheckpointManager
+
+    eng = ShardedEllEngine(None, data=data)
+    plane_bytes = data.a_idx.nbytes + data.a_val.nbytes
+
+    # host-stepped loop (CheckpointManager with every=0): one device call
+    # per iteration. A single fused multi-iteration program at this scale
+    # runs minutes on-device, which trips the tunneled relay's RPC deadline
+    # and kills the worker; per-step calls are chained (output feeds next
+    # input) so the timing is still real device time.
+    with tempfile.TemporaryDirectory() as td:
+        mgr = CheckpointManager(td, every=0)
+        eng.fit(args.k, tol=0.0, maxit=1, masked=args.masked,
+                inv_density=20, checkpoint=mgr)     # compile + warm
+        t0 = time.perf_counter()
+        out = eng.fit(args.k, tol=0.0, maxit=args.maxit, masked=args.masked,
+                      inv_density=20, checkpoint=mgr)
+        secs = time.perf_counter() - t0
     ips = args.maxit / secs
 
     mem = {}

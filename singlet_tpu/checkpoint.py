@@ -99,10 +99,16 @@ class CheckpointManager:
         return paths[-1] if paths else None
 
     # -- save / restore ---------------------------------------------------
+    def should_save(self, it: int) -> bool:
+        """True when the cadence wants a save at this (1-based) iteration.
+        Callers should test this BEFORE materializing device arrays to
+        host — on a tunneled device, pulling W/H costs seconds."""
+        return bool(self.every) and it % self.every == 0
+
     def maybe_save(self, it: int, state: Dict[str, Any]) -> bool:
         """Save if the cadence says so (iteration numbers are 1-based,
         i.e. pass the count of completed iterations)."""
-        if self.every and it % self.every == 0:
+        if self.should_save(it):
             self.save(it, state)
             return True
         return False

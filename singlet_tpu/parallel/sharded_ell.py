@@ -2,11 +2,14 @@
 
 Combines the cell-mesh engine (parallel/sharded.py) with sparse storage
 (sparse/ell.py): each chip holds only its cells' nnz-padded index/value
-planes (~10-20x smaller than dense for scRNA), plus a per-shard transposed
-plane set for the w-update whose row ids are *local* cell indices. Compute
-tiles are densified per block on device, so the masked-CV math is identical
-to the dense engine's — and the counter-RNG masks are keyed by global ids,
-so models are independent of mesh size and storage layout (tested).
+A-planes (~10-20x smaller than dense for scRNA). NO transpose copy exists —
+the w-update right-hand sides and masked Gram corrections are accumulated
+over the same cell-block tiles (``B_w += tile_b^T @ H_b``), so the
+reference's 2x A+At memory trade (reference:R/run_nmf.R:40) disappears.
+Compute tiles are densified per block on device, so the masked-CV math is
+identical to the dense engine's — and the counter-RNG masks are keyed by
+global ids, so models are independent of mesh size and storage layout
+(tested).
 
 Fits run as fused device programs: the whole ALS loop — including the
 masked-CV trace / overfit-early-stop policy — is one ``lax.while_loop``
@@ -16,12 +19,12 @@ Rank searches share compiled programs via ``k_bucket`` factor padding,
 exactly like the single-chip engine (solvers/ard.py).
 
 Multi-host ingest (``shard_ell_from_local``): each host packs only its own
-cell-column chunk into local ELL planes + per-device local transposes and
-contributes them to the global sharded arrays via
-``jax.make_array_from_process_local_data`` — no host ever holds the full
-matrix. Per-column nnz maxima are agreed across hosts with one tiny
-allgather, so the assembled operand is bit-identical to single-host
-``shard_ell_data`` of the same matrix.
+cell-column chunk into local ELL A-planes and contributes them to the
+global sharded arrays via ``jax.make_array_from_process_local_data`` — no
+host ever holds the full matrix, and no transpose is ever built. The
+per-column nnz maximum is agreed across hosts with one tiny allgather, so
+the assembled operand is bit-identical to single-host ``shard_ell_data``
+of the same matrix.
 
 Host-side shard construction uses the native C++ packer when available.
 This replaces the reference's single-node chunked "sparse list" mode and
@@ -64,12 +67,18 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class ShardedEllData:
+    """Cell-sharded ELL planes. A-planes ONLY — no transpose copy.
+
+    The reference pays 2x memory keeping both A and At
+    (reference:R/run_nmf.R:40, SURVEY.md hard part 4). Here the w-update
+    right-hand sides are accumulated over cell blocks from the same
+    A-planes (``B_w += tile_b^T @ H_b``), so the transpose never exists:
+    half the HBM, and multi-host ingest needs no distributed transpose.
+    """
+
     # A: cells are plane rows, row-ids are GLOBAL gene indices
     a_idx: jnp.ndarray          # (cells_pad, max_nnz_a) i32, sharded P(AXIS, None)
     a_val: jnp.ndarray          # (cells_pad, max_nnz_a) f32
-    # At: one plane set per shard, row-ids are LOCAL cell indices
-    at_idx: jnp.ndarray         # (n_dev, genes_pad, max_nnz_t) i32, P(AXIS, ...)
-    at_val: jnp.ndarray         # (n_dev, genes_pad, max_nnz_t) f32
     nonempty: jnp.ndarray       # (cells_pad,) bool, P(AXIS)
     gene_nonempty: jnp.ndarray  # (genes_pad,) bool, replicated
     mesh: Mesh
@@ -101,60 +110,18 @@ def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
     return genes_pad, cells_pad, cell_block, gene_block
 
 
-def _pack_device_planes(A_cols: sp.csc_matrix, n_dev_local: int,
-                        cells_local: int, genes_pad: int,
-                        max_nnz_a: int, max_nnz_t: int):
-    """Pack a contiguous run of ``n_dev_local`` device shards from this
-    process's true columns ``A_cols`` (genes x width_true csc).
-
-    Returns (a_idx, a_val) of shape (n_dev_local*cells_local, max_nnz_a)
-    and (at_idx, at_val) of shape (n_dev_local, genes_pad, max_nnz_t),
-    identical to the corresponding slices a full-matrix pack would produce
-    (packing is strictly per-column)."""
-    width = n_dev_local * cells_local
-    a_idx, a_val = _pack_ell(A_cols, width, max_nnz_a, genes_pad - 1)
-    at_idx = np.empty((n_dev_local, genes_pad, max_nnz_t), np.int32)
-    at_val = np.empty((n_dev_local, genes_pad, max_nnz_t), np.float32)
-    genes = A_cols.shape[0]
-    for d in range(n_dev_local):
-        lo = d * cells_local
-        hi = min(A_cols.shape[1], lo + cells_local)
-        local = (A_cols[:, lo:hi] if lo < A_cols.shape[1]
-                 else sp.csc_matrix((genes, 0)))
-        t = local.T.tocsc()   # cols = genes, row ids = local cell indices
-        at_idx[d], at_val[d] = _pack_ell(t, genes_pad, max_nnz_t,
-                                         cells_local - 1)
-    return a_idx, a_val, at_idx, at_val
-
-
 def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
                    gene_block: int = 2048) -> ShardedEllData:
-    """Build cell-sharded ELL planes (+ per-shard transposes) from genes x
-    cells sparse input (single process holds the full matrix)."""
+    """Build cell-sharded ELL A-planes from genes x cells sparse input
+    (single process holds the full matrix). No transpose is built."""
     A = sp.csc_matrix(A)
     genes, cells = A.shape
-    n_dev = mesh.devices.size
     genes_pad, cells_pad, cell_block, gene_block = ell_geometry(
         genes, cells, mesh, cell_block, gene_block)
-    cells_local = cells_pad // n_dev
 
     nnz_a = np.diff(A.indptr)
     max_nnz_a = _round_up(max(int(nnz_a.max()), 1), 8)
-
-    # global max nnz/gene across per-device local transposes
-    max_nnz_t = 8
-    for d in range(n_dev):
-        lo = d * cells_local
-        hi = min(cells, lo + cells_local)
-        if lo >= cells:
-            continue
-        t = A[:, lo:hi].T.tocsc()
-        if t.nnz:
-            max_nnz_t = max(max_nnz_t, int(np.diff(t.indptr).max()))
-    max_nnz_t = _round_up(max_nnz_t, 8)
-
-    a_idx, a_val, at_idx, at_val = _pack_device_planes(
-        A, n_dev, cells_local, genes_pad, max_nnz_a, max_nnz_t)
+    a_idx, a_val = _pack_ell(A, cells_pad, max_nnz_a, genes_pad - 1)
 
     ne = np.zeros(cells_pad, bool)
     ne[:cells] = nnz_a > 0
@@ -165,8 +132,6 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
     return ShardedEllData(
         a_idx=jax.device_put(a_idx, sh(P(AXIS, None))),
         a_val=jax.device_put(a_val, sh(P(AXIS, None))),
-        at_idx=jax.device_put(at_idx, sh(P(AXIS, None, None))),
-        at_val=jax.device_put(at_val, sh(P(AXIS, None, None))),
         nonempty=jax.device_put(ne, sh(P(AXIS))),
         gene_nonempty=jax.device_put(gne, sh(P())),
         mesh=mesh, genes_true=genes, cells_true=cells,
@@ -193,7 +158,7 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
     Each host passes only its own (genes x owned_true_cols) slice — the
     contiguous cell range its local devices own under ``mesh`` (device-id
     order, see ``parallel.multihost.process_cell_range``). The nnz plane
-    widths are agreed across hosts with one allgather of two integers, so
+    width is agreed across hosts with one allgather, so
     the assembled ``ShardedEllData`` is bit-identical to single-host
     ``shard_ell_data`` of the concatenated matrix.
 
@@ -222,23 +187,13 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
 
     nnz_a = np.diff(local_cols.indptr)
     local_max_a = int(nnz_a.max()) if nnz_a.size else 0
-    local_max_t = 8
-    for d in range(per_proc):
-        lo = d * cells_local
-        hi = min(local_cols.shape[1], lo + cells_local)
-        if lo >= local_cols.shape[1]:
-            continue
-        t = local_cols[:, lo:hi].T.tocsc()
-        if t.nnz:
-            local_max_t = max(local_max_t, int(np.diff(t.indptr).max()))
-    gmax_a, gmax_t = _allgather_max((local_max_a, local_max_t))
+    (gmax_a,) = _allgather_max((local_max_a,))
     max_nnz_a = _round_up(max(gmax_a, 1), 8)
-    max_nnz_t = _round_up(gmax_t, 8)
 
-    a_idx, a_val, at_idx, at_val = _pack_device_planes(
-        local_cols, per_proc, cells_local, genes_pad, max_nnz_a, max_nnz_t)
+    width = per_proc * cells_local
+    a_idx, a_val = _pack_ell(local_cols, width, max_nnz_a, genes_pad - 1)
 
-    ne_loc = np.zeros(per_proc * cells_local, bool)
+    ne_loc = np.zeros(width, bool)
     ne_loc[: nnz_a.size] = nnz_a > 0
 
     sh = lambda spec: NamedSharding(mesh, spec)
@@ -247,10 +202,6 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
                  global_shape=(cells_pad, max_nnz_a))
     a_val_g = mk(sh(P(AXIS, None)), a_val,
                  global_shape=(cells_pad, max_nnz_a))
-    at_idx_g = mk(sh(P(AXIS, None, None)), at_idx,
-                  global_shape=(n_dev, genes_pad, max_nnz_t))
-    at_val_g = mk(sh(P(AXIS, None, None)), at_val,
-                  global_shape=(n_dev, genes_pad, max_nnz_t))
     ne_g = mk(sh(P(AXIS)), ne_loc, global_shape=(cells_pad,))
     # validate the contiguity assumption: this process's addressable A-plane
     # shards must cover exactly [start, stop)
@@ -263,29 +214,72 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
             f"{expect_starts}. Build the mesh with global_mesh() (device-id "
             "order) or load columns matching the owned ranges.")
 
-    # global gene-nonempty: OR of per-shard local gene nnz, computed on
+    # global gene-nonempty: OR of per-process local gene nnz, computed on
     # device (each host only knows its own columns)
     gne_loc = np.zeros((per_proc, genes_pad), bool)
-    for d in range(per_proc):
-        lo = d * cells_local
-        hi = min(local_cols.shape[1], lo + cells_local)
-        if lo >= local_cols.shape[1]:
-            continue
-        cnt = np.asarray(
-            (local_cols[:, lo:hi] != 0).sum(axis=1)).ravel()
-        gne_loc[d, :genes] = cnt > 0
+    cnt = np.asarray((local_cols != 0).sum(axis=1)).ravel()
+    gne_loc[:, :genes] = (cnt > 0)[None, :]
     gne_sharded = mk(sh(P(AXIS, None)), gne_loc,
                      global_shape=(n_dev, genes_pad))
     gne = jax.jit(lambda x: jnp.any(x, axis=0),
                   out_shardings=sh(P()))(gne_sharded)
 
     return ShardedEllData(
-        a_idx=a_idx_g, a_val=a_val_g, at_idx=at_idx_g, at_val=at_val_g,
+        a_idx=a_idx_g, a_val=a_val_g,
         nonempty=ne_g, gene_nonempty=gne,
         mesh=mesh, genes_true=genes, cells_true=cells_true,
         genes_pad=genes_pad, cells_pad=cells_pad,
         cell_block=cell_block, gene_block=gene_block,
     )
+
+
+def shard_ell_from_staged(directory: str, mesh: Mesh,
+                          cell_block: int = 2048,
+                          gene_block: int = 2048) -> ShardedEllData:
+    """Multi-host ingest from a staged chunk directory: each host reads ONLY
+    the SVC shards overlapping its owned cell range, slices them to the
+    range, and contributes via :func:`shard_ell_from_local`.
+
+    The pod-scale version of the reference's file-staging workflow
+    (reference:R/run_nmf.R:79-107 SLURM helpers + sparse-list mode): stage
+    once with ``sparse.chunked.stage_chunks``, then every host of a
+    multi-host fit ingests its slice independently — no host reads the
+    whole dataset.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(directory, "manifest.json")) as f:
+        meta = _json.load(f)
+    if meta.get("format") != "svc1-chunks":
+        raise ValueError(f"not a staged chunk directory: {directory}")
+    genes = int(meta["genes"])
+    cells = int(meta["cells"])
+
+    n_dev = mesh.devices.size
+    pid = jax.process_index()
+    per_proc = n_dev // jax.process_count()
+    _, cells_pad, _, _ = ell_geometry(genes, cells, mesh, cell_block,
+                                      gene_block)
+    cells_local = cells_pad // n_dev
+    start = pid * per_proc * cells_local
+    stop = min((pid + 1) * per_proc * cells_local, cells)
+
+    from singlet_tpu import native
+
+    parts = []
+    off = 0
+    for ch in meta["chunks"]:
+        w = int(ch["cols"])
+        lo, hi = max(start, off), min(stop, off + w)
+        if lo < hi:
+            M = native.svc_read(_os.path.join(directory, ch["file"]))
+            parts.append(M[:, lo - off: hi - off])
+        off += w
+    local = (sp.hstack(parts).tocsc() if parts
+             else sp.csc_matrix((genes, 0), dtype=np.float32))
+    return shard_ell_from_local(local, cells, mesh, cell_block=cell_block,
+                                gene_block=gene_block)
 
 
 def _densify(idx, val, n_rows_out):
@@ -307,8 +301,7 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
     single-chip engine, solvers/als.py:als_step_masked)."""
     fns = _build_local_fns(data, inv_density)
     mesh = data.mesh
-    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
-               P(AXIS, None, None), P(AXIS), P(None))
+    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
     plain_step = jax.jit(jax.shard_map(
         fns["plain"], mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None), P(), P(), P(), P()),
@@ -343,17 +336,40 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
     def _local_cell_ids(dev):
         return dev * cells_local + jnp.arange(cells_local)
 
-    def _plain(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H_loc,
+    def _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
+                        packed_w=None, k=None, iu=None):
+        """Gene-block NNLS solves against accumulated right-hand sides.
+        With ``packed_w`` (masked path), each gene's Gram correction is
+        unpacked from the accumulated packed outer products."""
+        def w_blk(_, bi):
+            start = bi * gene_block
+            B = jax.lax.dynamic_slice_in_dim(Bw, start, gene_block, 0)
+            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
+            ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
+            if packed_w is None:
+                a = a_h
+            else:
+                pk = jax.lax.dynamic_slice_in_dim(packed_w, start,
+                                                  gene_block, 0)
+                a = a_h[None] - unpack_sym(pk, k, iu)
+            return None, solve_nnls(a, B, Y0, L1=L1_w, L2=L2_w,
+                                    update_mask=ne, n_coord=n_coord)
+
+        _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
+        return Ws.reshape(genes_pad, -1)
+
+    def _plain(a_idx, a_val, ne_loc, gene_ne, W, H_loc,
                L1_h, L1_w, L2_h, L2_w):
-        # Blocked over cells/genes: densify one ELL block into an MXU-dense
-        # tile, then one dense matmul. The whole-plane gather-einsum
-        # alternative materializes a (cells, nnz, k) intermediate — 100s of
-        # GB at million-cell scale; the densified tile is (block, genes)
-        # and the matmul rides the MXU at 1/density extra FLOPs, which the
-        # MXU's ~2 orders of magnitude over gather throughput easily absorbs.
+        # Blocked over cells: densify one ELL cell block into an MXU-dense
+        # (block, genes) tile, then dense matmuls. The whole-plane
+        # gather-einsum alternative materializes a (cells, nnz, k)
+        # intermediate — 100s of GB at million-cell scale — and a
+        # transposed-plane w-update needs (gene_block, cells_local) tiles
+        # that grow with the cell axis. Instead the w-update right-hand
+        # sides accumulate over the SAME cell-block tiles
+        # (B_w += tile^T @ H_b), so no transpose storage exists and every
+        # buffer is O(block * genes).
         k = W.shape[1]
-        at_idx = at_idx[0]
-        at_val = at_val[0]
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
 
         def h_blk(_, bi):
@@ -367,6 +383,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             return None, solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h,
                                     update_mask=ne)
 
+        # pass 1: h-update per cell block (tiles are rebuilt in pass 2 —
+        # stashing them would materialize the dense matrix)
         _, Hs = jax.lax.scan(h_blk, None,
                              jnp.arange(cells_local // cell_block))
         H_new = Hs.reshape(cells_local, k)
@@ -377,34 +395,32 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             jnp.dot(H_new.T, H_new, precision=MM_PRECISION), AXIS)
         a_h = a_h + 1e-15 * jnp.eye(k)
 
-        def w_blk(_, bi):
-            start = bi * gene_block
-            idx = jax.lax.dynamic_slice_in_dim(at_idx, start, gene_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(at_val, start, gene_block, 0)
-            tile = _densify(idx, val, cells_local)        # (blk, cells_loc)
-            B = jax.lax.psum(
-                jnp.dot(tile, H_new, precision=MM_PRECISION), AXIS)
-            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
-            ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            return None, solve_nnls(a_h, B, Y0, L1=L1_w, L2=L2_w,
-                                    update_mask=ne)
+        # pass 2: accumulate w-update RHS over cell blocks
+        def acc_blk(Bw, bi):
+            start = bi * cell_block
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
+            tile = _densify(idx, val, genes_pad)
+            Hb = jax.lax.dynamic_slice_in_dim(H_new, start, cell_block, 0)
+            return Bw + jnp.dot(tile.T, Hb, precision=MM_PRECISION), None
 
-        _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
-        W_new = Ws.reshape(genes_pad, k)
+        Bw, _ = jax.lax.scan(acc_blk, jnp.zeros((genes_pad, k), W.dtype),
+                             jnp.arange(cells_local // cell_block))
+        Bw = jax.lax.psum(Bw, AXIS)
+        W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, None)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
         tol = cor_distance(W_new[:genes_true], W[:genes_true])
         return W_new, H_new, d, tol
 
-    def _masked(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H_loc,
+    def _masked(a_idx, a_val, ne_loc, gene_ne, W, H_loc,
                 seed, L1_h, L1_w, L2_h, L2_w, k_true):
         k = W.shape[1]
-        at_idx = at_idx[0]
-        at_val = at_val[0]
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
         gene_ids = jnp.arange(genes_pad)
         iu = triu_pairs(k)
+        npairs = k * (k + 1) // 2
         n_coord = jnp.asarray(k_true, jnp.float32)
 
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
@@ -438,30 +454,38 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         a_h = jax.lax.psum(
             jnp.dot(H_new.T, H_new, precision=MM_PRECISION), AXIS)
         a_h = a_h + 1e-15 * jnp.eye(k)
-        Ph = packed_outer_products(H_new, iu)
 
-        def w_blk(_, bi):
-            start = bi * gene_block
-            gids = start + jnp.arange(gene_block)
-            m = mask_block(seed, cell_ids_local, gids, inv_density).T
-            m = m & (gids < genes_true)[:, None] & \
-                (cell_ids_local < cells_true)[None, :]
-            idx = jax.lax.dynamic_slice_in_dim(at_idx, start, gene_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(at_val, start, gene_block, 0)
-            tile = _densify(idx, val, cells_local)       # (blk, cells_local)
+        # accumulate the w-update RHS and the per-gene packed Gram
+        # corrections over cell blocks (masked entries drop out of B; their
+        # H outer products accumulate per gene). Ph is built per block —
+        # materializing (cells_local, npairs) would be 10s of GB at scale.
+        def acc_blk(carry, bi):
+            Bw, Pk = carry
+            start = bi * cell_block
+            ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
+                                               cell_block)
+            m = mask_block(seed, ids, gene_ids, inv_density)
+            m = m & (ids < cells_true)[:, None] & \
+                (gene_ids < genes_true)[None, :]
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
+            tile = _densify(idx, val, genes_pad)
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
-            B = jax.lax.psum(
-                jnp.dot(tile * keep, H_new, precision=MM_PRECISION), AXIS)
-            packed = jax.lax.psum(
-                jnp.dot(m.astype(W.dtype), Ph, precision=MM_PRECISION), AXIS)
-            a_blk = a_h[None] - unpack_sym(packed, k, iu)
-            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
-            ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            return None, solve_nnls(a_blk, B, Y0, L1=L1_w, L2=L2_w,
-                                    update_mask=ne, n_coord=n_coord)
+            Hb = jax.lax.dynamic_slice_in_dim(H_new, start, cell_block, 0)
+            Bw = Bw + jnp.dot((tile * keep).T, Hb, precision=MM_PRECISION)
+            Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
+            Pk = Pk + jnp.dot(m.astype(W.dtype).T, Ph_b,
+                              precision=MM_PRECISION)
+            return (Bw, Pk), None
 
-        _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
-        W_new = Ws.reshape(genes_pad, k)
+        (Bw, Pk), _ = jax.lax.scan(
+            acc_blk, (jnp.zeros((genes_pad, k), W.dtype),
+                      jnp.zeros((genes_pad, npairs), W.dtype)),
+            jnp.arange(cells_local // cell_block))
+        Bw = jax.lax.psum(Bw, AXIS)
+        Pk = jax.lax.psum(Pk, AXIS)
+        W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
+                                packed_w=Pk, k=k, iu=iu)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
         n_true = genes_true * jnp.asarray(k_true, jnp.float32)
@@ -509,8 +533,7 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
     step = fns["masked"] if masked else fns["plain"]
     mesh = data.mesh
 
-    def _loop(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H,
-              *extra):
+    def _loop(a_idx, a_val, ne_loc, gene_ne, W, H, *extra):
         # extra = (L1_h, L1_w, L2_h, L2_w, tol_target) plain
         #       = (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target) masked
         tol_target = extra[-1]
@@ -523,8 +546,7 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
 
         def body(st):
             it, W, H, d, _, tols = st
-            W, H, d, tolv = step(a_idx, a_val, at_idx, at_val, ne_loc,
-                                 gene_ne, W, H, *args)
+            W, H, d, tolv = step(a_idx, a_val, ne_loc, gene_ne, W, H, *args)
             tols = tols.at[it].set(tolv)
             return (it + 1, W, H, d, tolv, tols)
 
@@ -533,8 +555,7 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
         it, W, H, d, _, tols = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, tols
 
-    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
-               P(AXIS, None, None), P(AXIS), P(None))
+    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
     extra_specs = ((P(None), P(), P(), P(), P(), P(), P()) if masked
                    else (P(), P(), P(), P(), P()))
     return jax.jit(jax.shard_map(
@@ -557,7 +578,7 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
     mse = fns["mse"]
     mesh = data.mesh
 
-    def _loop(a_idx, a_val, at_idx, at_val, ne_loc, gene_ne, W, H, seed,
+    def _loop(a_idx, a_val, ne_loc, gene_ne, W, H, seed,
               L1, L2, k_true, tol_target, overfit_threshold):
         k = W.shape[1]
         nanf = jnp.float32(jnp.nan)
@@ -569,7 +590,7 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
         def body(st):
             (it, W, H, d, _, stopped, min_err, n_tr, tmse, t_iters, scores,
              tols) = st
-            W, H, d, tolv = masked(a_idx, a_val, at_idx, at_val, ne_loc,
+            W, H, d, tolv = masked(a_idx, a_val, ne_loc,
                                    gene_ne, W, H, seed, L1, L1, L2, L2,
                                    k_true)
             tols = tols.at[it].set(tolv)
@@ -603,8 +624,7 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
          tols) = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
 
-    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
-               P(AXIS, None, None), P(AXIS), P(None))
+    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None), P(None),
@@ -695,8 +715,7 @@ class ShardedEllEngine:
         W = jax.device_put(W, NamedSharding(self.mesh, P(None, None)))
         H = jax.device_put(jnp.zeros((data.cells_pad, k_pad), jnp.float32),
                            NamedSharding(self.mesh, P(AXIS, None)))
-        args = (data.a_idx, data.a_val, data.at_idx, data.at_val,
-                data.nonempty, data.gene_nonempty)
+        args = (data.a_idx, data.a_val, data.nonempty, data.gene_nonempty)
         return W, H, args, k_pad
 
     # ---------------------------------------------------------------- fits
@@ -775,9 +794,10 @@ class ShardedEllEngine:
                 if verbose:
                     print(f"{it + 1:4d} | {tol_:8.2e}")
                 it += 1
-                mgr.maybe_save(it, dict(
-                    ckpt_config, W=np.asarray(W), H=np.asarray(H),
-                    d=np.asarray(d), tol_trace=traces))
+                if mgr.should_save(it):
+                    mgr.save(it, dict(
+                        ckpt_config, W=np.asarray(W), H=np.asarray(H),
+                        d=np.asarray(d), tol_trace=traces))
 
         out = dict(
             w=np.asarray(W[: self.data.genes_true]),
@@ -893,10 +913,11 @@ class ShardedEllEngine:
                 else:
                     vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} |        -")
                 it += 1
-                mgr.maybe_save(it, dict(
-                    ckpt_config, W=np.asarray(W), H=np.asarray(H),
-                    d=np.asarray(d), test_mse=test_mse_t, iter=iter_t,
-                    tol=tol_t, score_overfit=score_t))
+                if mgr.should_save(it):
+                    mgr.save(it, dict(
+                        ckpt_config, W=np.asarray(W), H=np.asarray(H),
+                        d=np.asarray(d), test_mse=test_mse_t, iter=iter_t,
+                        tol=tol_t, score_overfit=score_t))
 
         if (it % trace_test_mse != 0 and not stopped_early
                 and (not iter_t or iter_t[-1] != it)):

@@ -396,9 +396,10 @@ def nmf_fit(
                        ms=round((time.perf_counter() - t0) * 1e3, 3))
             if verbose:
                 print(f"{it + 1:4d} | {tol_:8.2e}")
-            mgr.maybe_save(it + 1, dict(
-                ckpt_config, W=np.asarray(W), H=np.asarray(H),
-                d=np.asarray(d), tol_trace=tol_trace))
+            if mgr.should_save(it + 1):
+                mgr.save(it + 1, dict(
+                    ckpt_config, W=np.asarray(W), H=np.asarray(H),
+                    d=np.asarray(d), tol_trace=tol_trace))
 
     logger.log("fit_end", fit=fit_id, n_iter=len(tol_trace), tol=tol_)
     return FitResult(

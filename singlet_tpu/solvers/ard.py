@@ -256,8 +256,8 @@ def ard_nmf_fit(
             logger.log("iteration", fit=fit_id, iter=it + 1, tol=tol_, ms=ms)
             vprint(verbose, 3, f"{it + 1:4d} | {tol_:8.2e} |        -")
         it += 1
-        if mgr is not None:
-            mgr.maybe_save(it, dict(
+        if mgr is not None and mgr.should_save(it):
+            mgr.save(it, dict(
                 ckpt_config, W=np.asarray(W), H=np.asarray(H),
                 d=np.asarray(d), test_mse=test_mse_t, iter=iter_t,
                 tol=tol_t, score_overfit=score_t))

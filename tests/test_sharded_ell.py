@@ -69,8 +69,7 @@ def test_local_ell_ingest_equals_full_ingest(rng, mesh8):
     A = _sparse(rng, genes=52, cells=72)
     full = shard_ell_data(A, mesh8)
     local = shard_ell_from_local(A, A.shape[1], mesh8)
-    for f in ("a_idx", "a_val", "at_idx", "at_val", "nonempty",
-              "gene_nonempty"):
+    for f in ("a_idx", "a_val", "nonempty", "gene_nonempty"):
         np.testing.assert_array_equal(np.asarray(getattr(local, f)),
                                       np.asarray(getattr(full, f)), err_msg=f)
     assert (local.cell_block, local.gene_block) == (full.cell_block,
@@ -157,27 +156,20 @@ def test_sharded_checkpoint_resume_identical(rng, mesh8, tmp_path):
     assert res.iter == full.iter
 
 
-def test_largescale_synth_planes_consistent(rng):
-    """The closed-form large-scale operand's At planes must be the exact
-    transpose of its A planes (small-shape check of benchmarks/largescale)."""
+def test_largescale_synth_planes_regular(rng):
+    """The closed-form large-scale operand has p distinct genes per cell
+    and covers every gene (small-shape check of benchmarks/largescale)."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from benchmarks.largescale import synth_ell_planes
 
     genes, cells, p = 32, 96, 8
-    a_idx, a_val, at_cell, at_val = synth_ell_planes(genes, cells, p,
-                                                     step=7, xp=np)
-    A = np.zeros((genes, cells), np.float64)
+    a_idx, a_val = synth_ell_planes(genes, cells, p, step=7, xp=np)
+    assert a_idx.shape == (cells, p) and a_val.shape == (cells, p)
     for c in range(cells):
-        for j in range(p):
-            A[a_idx[c, j], c] += a_val[c, j]
-    At = np.zeros((cells, genes), np.float64)
-    for g in range(genes):
-        for s in range(at_cell.shape[1]):
-            At[at_cell[g, s], g] += at_val[g, s]
-    np.testing.assert_allclose(At, A.T, rtol=0, atol=0)
-    # regular bipartite: every cell has p nnz, every gene p*cells/genes
-    assert (A != 0).sum(axis=0).min() > 0
+        assert len(set(a_idx[c].tolist())) == p    # distinct within a cell
+    assert set(a_idx.ravel().tolist()) == set(range(genes))
+    assert (a_val > 0).all()
 
 
 def test_largescale_synth_fit_on_mesh(rng):
@@ -200,7 +192,7 @@ def test_largescale_synth_fit_on_mesh(rng):
 
     # ground truth: the same matrix through the scipy ingest path
     from benchmarks.largescale import synth_ell_planes
-    a_idx, a_val, _, _ = synth_ell_planes(genes, cells, p, xp=np)
+    a_idx, a_val = synth_ell_planes(genes, cells, p, xp=np)
     A = sp.csc_matrix(
         (a_val.ravel(),
          (a_idx.ravel(), np.repeat(np.arange(cells), p))),
