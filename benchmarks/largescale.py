@@ -114,26 +114,19 @@ def main():
     jax.block_until_ready(data.a_val)
     gen_s = time.perf_counter() - t0
 
-    import tempfile
-
-    from singlet_tpu.checkpoint import CheckpointManager
-
     eng = ShardedEllEngine(None, data=data)
     plane_bytes = data.a_idx.nbytes + data.a_val.nbytes
 
-    # host-stepped loop (CheckpointManager with every=0): one device call
-    # per iteration. A single fused multi-iteration program at this scale
-    # runs minutes on-device, which trips the tunneled relay's RPC deadline
-    # and kills the worker; per-step calls are chained (output feeds next
-    # input) so the timing is still real device time.
-    with tempfile.TemporaryDirectory() as td:
-        mgr = CheckpointManager(td, every=0)
-        eng.fit(args.k, tol=0.0, maxit=1, masked=args.masked,
-                inv_density=20, checkpoint=mgr)     # compile + warm
-        t0 = time.perf_counter()
-        out = eng.fit(args.k, tol=0.0, maxit=args.maxit, masked=args.masked,
-                      inv_density=20, checkpoint=mgr)
-        secs = time.perf_counter() - t0
+    # fused loop in chunks of 5 iterations per device call: amortizes the
+    # tunneled relay's per-call argument overhead (~7 s on 3.4 GB planes)
+    # while staying under its single-execution deadline
+    chunk = 5
+    eng.fit(args.k, tol=0.0, maxit=chunk, masked=args.masked,
+            inv_density=20, chunk_iters=chunk)      # compile + warm
+    t0 = time.perf_counter()
+    out = eng.fit(args.k, tol=0.0, maxit=args.maxit, masked=args.masked,
+                  inv_density=20, chunk_iters=chunk)
+    secs = time.perf_counter() - t0
     ips = args.maxit / secs
 
     mem = {}

@@ -28,11 +28,7 @@ def main():
                           f"backend={jax.default_backend()}"}))
         return 0
 
-    from singlet_tpu.ops.nnls import nnls_batch
-    from singlet_tpu.ops.pallas_nnls import (
-        nnls_batch_pallas,
-        nnls_batch_pallas_batched_a,
-    )
+    from singlet_tpu.ops.nnls import nnls_batch, solve_nnls
 
     rng = np.random.default_rng(7)
     worst = {}
@@ -46,9 +42,11 @@ def main():
         ref = np.asarray(nnls_batch(jnp.asarray(a), jnp.asarray(B),
                                     jnp.asarray(X0), L1=0.01,
                                     update_mask=jnp.asarray(mask)))
-        got = np.asarray(nnls_batch_pallas(
+        # solve_nnls dispatches to the Pallas kernels on TPU with its own
+        # VMEM-safe block sizing (the thing actually shipped)
+        got = np.asarray(solve_nnls(
             jnp.asarray(a), jnp.asarray(B), jnp.asarray(X0), L1=0.01,
-            update_mask=jnp.asarray(mask), block=min(n, 1024)))
+            update_mask=jnp.asarray(mask)))
         denom = np.maximum(np.abs(ref), 1e-3)
         worst[f"shared_k{k}"] = float(np.max(np.abs(got - ref) / denom))
 
@@ -59,9 +57,9 @@ def main():
         refb = np.asarray(nnls_batch(jnp.asarray(ab), jnp.asarray(B),
                                      jnp.asarray(X0), L1=0.01,
                                      update_mask=jnp.asarray(mask)))
-        gotb = np.asarray(nnls_batch_pallas_batched_a(
+        gotb = np.asarray(solve_nnls(
             jnp.asarray(ab), jnp.asarray(B), jnp.asarray(X0), L1=0.01,
-            update_mask=jnp.asarray(mask), block=min(n, 256)))
+            update_mask=jnp.asarray(mask)))
         worst[f"batched_k{k}"] = float(np.max(np.abs(gotb - refb)
                                               / np.maximum(np.abs(refb),
                                                            1e-3)))

@@ -1,7 +1,9 @@
-"""Decompose the large-scale ELL iteration cost: densify vs matmul vs NNLS.
+"""Decompose the large-scale ELL iteration cost: h-update vs w-accumulate
+vs w-solve, on the real operand shapes (524k cells x 16k genes, k=100).
 
-Times each stage of the sharded ELL plain step separately on the real
-operand shapes to find the bottleneck. Run: python benchmarks/profile_largescale.py
+Times each phase of the sharded ELL plain step as its own jitted program
+with chained inputs (the relay dedupes identical repeated requests).
+Run: python benchmarks/profile_largescale.py
 """
 
 import json
@@ -14,101 +16,107 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(f, *args, n=3):
-    out = f(*args)
-    import jax
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/singlet_tpu_jax_cache")
-    from benchmarks.largescale import synth_ell_planes
+    from benchmarks.largescale import build_sharded_ell_synth
     from singlet_tpu.ops.linalg import MM_PRECISION
     from singlet_tpu.ops.nnls import solve_nnls
+    from singlet_tpu.parallel.sharded_ell import _densify
 
     genes, cells, p, k = 16384, 524288, 824, 100
-    cell_block = 2048
+    cell_block, gene_block = 2048, 2048
     n_blocks = cells // cell_block
-    gen = jax.jit(lambda: synth_ell_planes(genes, cells, p, xp=jnp))
-    a_idx, a_val = gen()
-    jax.block_until_ready(a_val)
-    W = jax.block_until_ready(
-        jax.random.uniform(jax.random.PRNGKey(0), (genes, k)))
-    H = jnp.zeros((cells, k), jnp.float32)
+    data = build_sharded_ell_synth(genes, cells, p)
+    a_idx, a_val = data.a_idx, data.a_val
 
-    def densify_all(a_idx, a_val):
-        def blk(acc, bi):
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, bi * cell_block,
-                                               cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, bi * cell_block,
-                                               cell_block, 0)
-            tile = jnp.zeros((cell_block, genes), val.dtype)
-            rows = jnp.arange(cell_block)[:, None]
-            tile = tile.at[rows, idx].add(val)
-            return acc + tile.sum(), None
-        acc, _ = jax.lax.scan(blk, jnp.zeros(()), jnp.arange(n_blocks))
-        return acc
+    @jax.jit
+    def h_update(a_val, a_idx, W, H):
+        a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
 
-    def densify_matmul(a_idx, a_val, W):
-        def blk(acc, bi):
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, bi * cell_block,
-                                               cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, bi * cell_block,
-                                               cell_block, 0)
-            tile = jnp.zeros((cell_block, genes), val.dtype)
-            rows = jnp.arange(cell_block)[:, None]
-            tile = tile.at[rows, idx].add(val)
-            B = jnp.dot(tile, W, precision=MM_PRECISION)
-            return acc + B.sum(), None
-        acc, _ = jax.lax.scan(blk, jnp.zeros(()), jnp.arange(n_blocks))
-        return acc
-
-    def gather_B(a_idx, a_val, W):
-        def blk(acc, bi):
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, bi * cell_block,
-                                               cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, bi * cell_block,
-                                               cell_block, 0)
-            g = jnp.take(W, idx, axis=0)               # (blk, p, k)
-            B = jnp.einsum("cp,cpk->ck", val, g, precision=MM_PRECISION)
-            return acc + B.sum(), None
-        acc, _ = jax.lax.scan(blk, jnp.zeros(()), jnp.arange(n_blocks))
-        return acc
-
-    def nnls_all(a, B, H):
         def blk(_, bi):
-            Bb = jax.lax.dynamic_slice_in_dim(B, bi * cell_block,
-                                              cell_block, 0)
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, bi * cell_block,
+                                               cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, bi * cell_block,
+                                               cell_block, 0)
+            tile = _densify(idx, val, genes)
+            B = jnp.dot(tile, W, precision=MM_PRECISION)
             Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
                                               cell_block, 0)
-            return None, solve_nnls(a, Bb, Hb, L1=0.01)
+            return None, solve_nnls(a_w, B, Hb, L1=0.01)
+
         _, Hs = jax.lax.scan(blk, None, jnp.arange(n_blocks))
-        return Hs
+        return Hs.reshape(cells, k)
 
-    a = jnp.eye(k) + 0.01
-    B = jax.block_until_ready(
-        jax.random.uniform(jax.random.PRNGKey(1), (cells, k)) * 2.0)
+    @jax.jit
+    def h_update_no_nnls(a_val, a_idx, W):
+        def blk(acc, bi):
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, bi * cell_block,
+                                               cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, bi * cell_block,
+                                               cell_block, 0)
+            tile = _densify(idx, val, genes)
+            B = jnp.dot(tile, W, precision=MM_PRECISION)
+            return acc + B.sum(), None
 
-    jd = jax.jit(densify_all)
-    jm = jax.jit(densify_matmul)
-    jg = jax.jit(gather_B)
-    jn = jax.jit(nnls_all)
-    out = {
-        "densify_only_s": round(timeit(jd, a_idx, a_val), 3),
-        "densify_matmul_s": round(timeit(jm, a_idx, a_val, W), 3),
-        "gather_B_s": round(timeit(jg, a_idx, a_val, W), 3),
-        "nnls_cold_start_s": round(timeit(jn, a, B, H), 3),
-    }
-    print(json.dumps(out))
+        acc, _ = jax.lax.scan(blk, jnp.zeros(()), jnp.arange(n_blocks))
+        return acc
+
+    @jax.jit
+    def w_accumulate(a_val, a_idx, H):
+        def blk(Bw, bi):
+            idx = jax.lax.dynamic_slice_in_dim(a_idx, bi * cell_block,
+                                               cell_block, 0)
+            val = jax.lax.dynamic_slice_in_dim(a_val, bi * cell_block,
+                                               cell_block, 0)
+            tile = _densify(idx, val, genes)
+            Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
+                                              cell_block, 0)
+            return Bw + jnp.dot(tile.T, Hb, precision=MM_PRECISION), None
+
+        Bw, _ = jax.lax.scan(blk, jnp.zeros((genes, k), jnp.float32),
+                             jnp.arange(n_blocks))
+        return Bw
+
+    @jax.jit
+    def w_solve(Bw, a_h, W):
+        def blk(_, bi):
+            B = jax.lax.dynamic_slice_in_dim(Bw, bi * gene_block,
+                                             gene_block, 0)
+            Y0 = jax.lax.dynamic_slice_in_dim(W, bi * gene_block,
+                                              gene_block, 0)
+            return None, solve_nnls(a_h, B, Y0, L1=0.01)
+
+        _, Ws = jax.lax.scan(blk, None, jnp.arange(genes // gene_block))
+        return Ws.reshape(genes, k)
+
+    W = jax.block_until_ready(
+        jax.random.uniform(jax.random.PRNGKey(0), (genes, k)))
+    H0 = jnp.zeros((cells, k), jnp.float32)
+
+    def chained(f, seed, *args, n=3):
+        out = jax.block_until_ready(f(seed, *args))
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = f(seed, *args)
+            seed = seed + (jnp.ravel(out)[0] * 1e-30
+                           + (i + 1) * 1e-7).astype(seed.dtype)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    res = {}
+    res["h_update_s"] = round(chained(h_update, a_val, a_idx, W, H0), 3)
+    res["h_update_no_nnls_s"] = round(
+        chained(h_update_no_nnls, a_val, a_idx, W), 3)
+    H = jax.block_until_ready(h_update(a_val, a_idx, W, H0))
+    res["w_accumulate_s"] = round(chained(w_accumulate, a_val, a_idx, H), 3)
+    Bw = jax.block_until_ready(w_accumulate(a_val, a_idx, H))
+    a_h = jnp.dot(H.T, H, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
+    res["w_solve_s"] = round(chained(w_solve, Bw, a_h, W), 3)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

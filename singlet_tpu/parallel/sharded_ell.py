@@ -534,15 +534,19 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
     mesh = data.mesh
 
     def _loop(a_idx, a_val, ne_loc, gene_ne, W, H, *extra):
-        # extra = (L1_h, L1_w, L2_h, L2_w, tol_target) plain
-        #       = (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target) masked
-        tol_target = extra[-1]
-        args = extra[:-1]
+        # extra = (..., tol_target, n_steps):
+        #   (L1_h, L1_w, L2_h, L2_w, tol_target, n_steps) plain
+        #   (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target, n_steps) masked
+        # n_steps is a traced budget <= the static maxit, letting chunked
+        # callers run a partial final chunk on the same compiled program.
+        n_steps = extra[-1]
+        tol_target = extra[-2]
+        args = extra[:-2]
         k = W.shape[1]
 
         def cond(st):
             it, _, _, _, tolv, _ = st
-            return (it < maxit) & (tolv > tol_target)
+            return (it < maxit) & (it < n_steps) & (tolv > tol_target)
 
         def body(st):
             it, W, H, d, _, tols = st
@@ -556,8 +560,8 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
         return W, H, d, it, tols
 
     specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
-    extra_specs = ((P(None), P(), P(), P(), P(), P(), P()) if masked
-                   else (P(), P(), P(), P(), P()))
+    extra_specs = ((P(None), P(), P(), P(), P(), P(), P(), P()) if masked
+                   else (P(), P(), P(), P(), P(), P()))
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None)) + extra_specs,
@@ -724,11 +728,20 @@ class ShardedEllEngine:
             w_init: Optional[np.ndarray] = None,
             masked: bool = False, inv_density: int = 20,
             mask_seed: int = 0,
-            checkpoint: Optional[Union[str, CheckpointManager]] = None):
+            checkpoint: Optional[Union[str, CheckpointManager]] = None,
+            chunk_iters: Optional[int] = None):
         """Plain (or masked, without traces) sharded fit; returns the same
         dict shape ``sharded_ell_nmf_fit`` always has. L1/L2 may be scalars
         or (w, h) pairs — both sides reach both half-updates (the masked
-        path previously dropped the w side; now supported)."""
+        path previously dropped the w side; now supported).
+
+        ``chunk_iters``: run the fused device loop in chunks of this many
+        iterations per device call (semantics unchanged — the loop's own
+        tol check stops inside a chunk). Default None = the whole fit in
+        one call, which is right on directly-attached hardware; tunneled/
+        relayed devices cap single-execution time and pay per-call argument
+        overhead, so a chunk of ~4-8 amortizes dispatch while staying under
+        execution deadlines."""
         k = int(k)
         _, masked_step, mse_fn = self.steps(inv_density)
         W, H, args, _ = self._state(k, w_init, seed)
@@ -760,18 +773,29 @@ class ShardedEllEngine:
                 tol_ = traces[-1] if traces else 1.0
 
         if mgr is None:
-            loop = self.fit_loop(inv_density, int(maxit), bool(masked))
-            if masked:
-                W, H, d, n_it, tols = loop(
-                    *args, W, H, sp_, jnp.float32(L1_h), jnp.float32(L1_w),
-                    jnp.float32(L2_h), jnp.float32(L2_w), jnp.int32(k),
-                    jnp.float32(tol))
-            else:
-                W, H, d, n_it, tols = loop(
-                    *args, W, H, jnp.float32(L1_h), jnp.float32(L1_w),
-                    jnp.float32(L2_h), jnp.float32(L2_w), jnp.float32(tol))
-            n = int(n_it)
-            traces = [float(t) for t in np.asarray(tols[:n])]
+            chunk = int(maxit if chunk_iters is None
+                        else min(chunk_iters, maxit))
+            loop = self.fit_loop(inv_density, chunk, bool(masked))
+            while it < maxit and tol_ > tol:
+                budget = jnp.int32(min(chunk, maxit - it))
+                if masked:
+                    W, H, d, n_it, tols = loop(
+                        *args, W, H, sp_, jnp.float32(L1_h),
+                        jnp.float32(L1_w), jnp.float32(L2_h),
+                        jnp.float32(L2_w), jnp.int32(k), jnp.float32(tol),
+                        budget)
+                else:
+                    W, H, d, n_it, tols = loop(
+                        *args, W, H, jnp.float32(L1_h), jnp.float32(L1_w),
+                        jnp.float32(L2_h), jnp.float32(L2_w),
+                        jnp.float32(tol), budget)
+                n = int(n_it)
+                new = [float(t) for t in np.asarray(tols[:n])]
+                traces.extend(new)
+                it += n
+                tol_ = traces[-1] if traces else tol_
+                if n < int(budget):     # converged inside the chunk
+                    break
             if verbose:
                 for i, t in enumerate(traces):
                     print(f"{i + 1:4d} | {t:8.2e}")
@@ -945,10 +969,10 @@ def sharded_ell_nmf_fit(A: sp.spmatrix, k: int, mesh: Optional[Mesh] = None,
                         mask_seed: int = 0, verbose: bool = False,
                         w_init: Optional[np.ndarray] = None,
                         data: Optional[ShardedEllData] = None,
-                        checkpoint=None):
+                        checkpoint=None, chunk_iters: Optional[int] = None):
     """Sparse sharded NMF fit. Semantics identical to the dense engines."""
     engine = ShardedEllEngine(A, mesh=mesh, data=data)
     return engine.fit(k, tol=tol, maxit=maxit, L1=L1, L2=L2, seed=seed,
                       verbose=verbose, w_init=w_init, masked=masked,
                       inv_density=inv_density, mask_seed=mask_seed,
-                      checkpoint=checkpoint)
+                      checkpoint=checkpoint, chunk_iters=chunk_iters)

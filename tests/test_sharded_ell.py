@@ -199,3 +199,22 @@ def test_largescale_synth_fit_on_mesh(rng):
         shape=(genes, cells))
     ref = ShardedEllEngine(A, mesh=mesh1).fit(3, w_init=w0, tol=0.0, maxit=3)
     np.testing.assert_allclose(out["w"], ref["w"], rtol=3e-4, atol=3e-5)
+
+
+def test_chunked_fused_fit_matches_single_program(rng, mesh8):
+    """chunk_iters splits the fused loop into several device calls with a
+    traced step budget — results must be identical to the one-call fit."""
+    from singlet_tpu.parallel.sharded_ell import sharded_ell_nmf_fit
+
+    A = _sparse(rng)
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    one = sharded_ell_nmf_fit(A, 3, mesh=mesh8, w_init=w0, tol=0.0, maxit=7)
+    chunked = sharded_ell_nmf_fit(A, 3, mesh=mesh8, w_init=w0, tol=0.0,
+                                  maxit=7, chunk_iters=3)   # 3 + 3 + 1
+    np.testing.assert_allclose(chunked["w"], one["w"], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(chunked["tol_trace"], one["tol_trace"],
+                               rtol=1e-6)
+    # early convergence inside a chunk stops the fit
+    conv = sharded_ell_nmf_fit(A, 3, mesh=mesh8, w_init=w0, tol=0.5,
+                               maxit=7, chunk_iters=3)
+    assert len(conv["tol_trace"]) < 7
