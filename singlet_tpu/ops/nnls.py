@@ -30,6 +30,7 @@ reference:src/singlet.cpp:254-276).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Union
 
@@ -37,7 +38,13 @@ import jax
 import jax.numpy as jnp
 
 CD_TOL = 1e-8
-CD_MAX_SWEEPS = 100
+# The reference caps CD at 100 sweeps/solve (reference:src/singlet.cpp:233)
+# and pbmc3k h-updates actually hit that cap, so inner sweeps dominate ALS
+# compute. SINGLET_TPU_MAX_SWEEPS opts into inexact inner solves
+# (HALS-style): cap=8 measured 3.6x faster ALS wall-clock at +0.2% train
+# MSE on pbmc3k (outer tol decays a little slower). Default preserves
+# reference-exact semantics.
+CD_MAX_SWEEPS = int(os.environ.get("SINGLET_TPU_MAX_SWEEPS", "100"))
 
 
 @partial(jax.jit, static_argnames=("max_sweeps",))

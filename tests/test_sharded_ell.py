@@ -218,3 +218,30 @@ def test_chunked_fused_fit_matches_single_program(rng, mesh8):
     conv = sharded_ell_nmf_fit(A, 3, mesh=mesh8, w_init=w0, tol=0.5,
                                maxit=7, chunk_iters=3)
     assert len(conv["tol_trace"]) < 7
+
+
+def test_staged_dir_ingest_equals_full_ingest(rng, mesh8, tmp_path):
+    """shard_ell_from_staged (per-host reads of only its chunk slices) must
+    assemble the identical operand to full-matrix ingest."""
+    from singlet_tpu.parallel.sharded_ell import (
+        shard_ell_data,
+        shard_ell_from_staged,
+    )
+    from singlet_tpu.sparse.chunked import stage_chunks
+
+    chunks = []
+    for s in (1, 2, 3):
+        M = sp.random(52, 24 + 8 * s, density=0.25, random_state=s,
+                      format="csc", dtype=np.float32)
+        M.data = np.abs(M.data) + 0.1
+        chunks.append(M)
+    A = sp.hstack(chunks).tocsc()
+    d = stage_chunks(str(tmp_path / "staged"), chunks)
+
+    full = shard_ell_data(A, mesh8)
+    staged = shard_ell_from_staged(d, mesh8)
+    for f in ("a_idx", "a_val", "nonempty", "gene_nonempty"):
+        np.testing.assert_array_equal(np.asarray(getattr(staged, f)),
+                                      np.asarray(getattr(full, f)),
+                                      err_msg=f)
+    assert staged.cells_true == A.shape[1]
