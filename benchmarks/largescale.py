@@ -3,15 +3,14 @@
 The "cellxgene million-cell" success criterion (BASELINE.md) needs a
 demonstrated large fit in ELL storage. Host->device bandwidth through the
 tunneled TPU is ~3-6 MB/s, so the operand cannot be shipped: it is generated
-ON DEVICE in closed form — a regular sparse pattern whose transpose is also
-elementwise-computable, with hash-derived values so A[g, c] agrees between
-the A-planes and the At-planes (asserted by a CPU test on small shapes).
+ON DEVICE in closed form, directly in the engine's blocked-ELL layout.
 
-Pattern: cell c's j-th nonzero sits at gene (c + j*step) mod genes with
-step coprime to genes; when genes divides cells, gene g's nonzeros are
-exactly cells c = ((g - j*step) mod genes) + m*genes for j in [0, p),
-m in [0, cells/genes) — a perfect (p, p*cells/genes)-regular bipartite
-graph. Values are a (cell, gene) hash in [0.1, 1.1).
+Pattern: within each gene block, each cell has ``per_gb`` nonzeros, one per
+evenly-spaced slot, hash-jittered inside the slot — distinct within the
+cell by construction, pseudo-random across cells. Values are a
+(cell, gene) hash in [0.1, 1.1). A CPU test asserts the blocked planes and
+the scipy-ingested row planes describe the same operand
+(tests/test_sharded_ell.py).
 
 This measures the real production path — ShardedEllData + the fused
 sharded fit loop (parallel/sharded_ell.py) — not a synthetic kernel.
@@ -44,28 +43,74 @@ def _hash_val(c, g):
         + np.float32(0.1)
 
 
+def _synth_cfg(genes: int, nnz_per_cell: int, gene_block: int):
+    """(n_gb, per_gb, width): per-gene-block count and padded plane width.
+    The effective nnz/cell is n_gb * per_gb (nnz_per_cell rounded down to a
+    multiple of the gene-block count)."""
+    assert genes % gene_block == 0
+    n_gb = genes // gene_block
+    per_gb = max(1, nnz_per_cell // n_gb)
+    assert per_gb <= gene_block
+    width = ((per_gb + 7) // 8) * 8
+    return n_gb, per_gb, width
+
+
+def _synth_li(c, gb, w, per_gb, gene_block, xp):
+    """Closed-form local index for slot w of gene block gb in cell c:
+    slot w owns [w*GB//per_gb, (w+1)*GB//per_gb); a (cell, slot) hash picks
+    a position inside — distinct within the cell by construction."""
+    base = (w * gene_block) // per_gb
+    gap = ((w + 1) * gene_block) // per_gb - base
+    h = (c.astype("uint32") * np.uint32(2654435761)
+         + (gb * np.int32(131) + w).astype("uint32") * np.uint32(40503))
+    h = (h & np.uint32(0x7FFFFFFF)).astype("int32")
+    return base + h % xp.maximum(gap, 1)
+
+
 def synth_ell_planes(genes: int, cells: int, nnz_per_cell: int,
-                     step: int = 9973, xp=np):
-    """(a_idx, a_val) closed-form ELL A-planes: cell c's j-th nonzero sits
-    at gene (c + j*step) mod genes (distinct within a cell when
-    gcd(step, genes) == 1 and nnz_per_cell <= genes); values are a
-    (cell, gene) hash. The engine stores no transpose (the w-update
-    accumulates over cell blocks), so A-planes fully define the operand.
-    """
-    assert nnz_per_cell <= genes
-    p = nnz_per_cell
-    c = xp.arange(cells, dtype=xp.int32)[:, None]
-    j = xp.arange(p, dtype=xp.int32)[None, :]
-    a_idx = (c + j * step) % genes
-    a_val = _hash_val(c + xp.zeros_like(a_idx), a_idx)
-    return a_idx, a_val
+                     gene_block: int = 512, xp=np):
+    """(idx, val) closed-form row-ELL planes (GLOBAL gene ids, gene-sorted
+    within each cell) of the synthetic operand — the scipy-ingest
+    cross-check twin of :func:`synth_bell_planes` (same multiset of
+    (cell, gene, value) triples)."""
+    n_gb, per_gb, _ = _synth_cfg(genes, nnz_per_cell, gene_block)
+    c = xp.arange(cells, dtype=xp.int32)[:, None, None]
+    gb = xp.arange(n_gb, dtype=xp.int32)[None, :, None]
+    w = xp.arange(per_gb, dtype=xp.int32)[None, None, :]
+    li = _synth_li(c, gb, w, per_gb, gene_block, xp)
+    gidx = gb * gene_block + li
+    val = _hash_val(c + xp.zeros_like(gidx), gidx)
+    return (gidx.reshape(cells, n_gb * per_gb),
+            val.reshape(cells, n_gb * per_gb))
+
+
+def synth_bell_planes(genes: int, cells: int, nnz_per_cell: int,
+                      gene_block: int = 512, xp=np):
+    """(b_li, b_val, offsets) closed-form blocked-ELL planes: per gene
+    block, ``per_gb`` jittered evenly-spaced LOCAL indices (pad -1/0 up to
+    the 8-rounded width). Bit-identical operand to
+    ``shard_ell_data(csc_of(synth_ell_planes(...)))`` up to within-block
+    entry order, which the tile build (a sum) does not observe."""
+    n_gb, per_gb, width = _synth_cfg(genes, nnz_per_cell, gene_block)
+    c = xp.arange(cells, dtype=xp.int32)[:, None, None]
+    gb = xp.arange(n_gb, dtype=xp.int32)[None, :, None]
+    w = xp.arange(width, dtype=xp.int32)[None, None, :]
+    live = w < per_gb
+    li = xp.where(live, _synth_li(c, gb, xp.minimum(w, per_gb - 1),
+                                  per_gb, gene_block, xp), -1)
+    gidx = gb * gene_block + xp.maximum(li, 0)
+    val = xp.where(live, _hash_val(c + xp.zeros_like(gidx), gidx), 0.0)
+    offsets = tuple(int(x) for x in range(0, (n_gb + 1) * width, width))
+    return (li.reshape(cells, n_gb * width).astype(xp.int32),
+            val.reshape(cells, n_gb * width).astype(xp.float32), offsets)
 
 
 def build_sharded_ell_synth(genes: int, cells: int, nnz_per_cell: int,
                             mesh=None, cell_block: int = 2048,
-                            gene_block: int = 2048):
-    """Device-generated ShardedEllData for the synthetic regular operand
-    (single-shard mesh; at-plane row ids are local cell indices)."""
+                            gene_block: int = 512):
+    """Device-generated ShardedEllData for the synthetic operand
+    (single-shard mesh; planes generated on device in closed form — the
+    tunnel uploads at ~3-6 MB/s, so GB-scale planes cannot be shipped)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -76,14 +121,17 @@ def build_sharded_ell_synth(genes: int, cells: int, nnz_per_cell: int,
     mesh = mesh or make_mesh(1)
     n_dev = mesh.devices.size
     assert n_dev == 1, "synthetic generator builds one shard (one chip)"
+    assert genes % gene_block == 0 and cells % cell_block == 0
 
-    gen = jax.jit(lambda: synth_ell_planes(genes, cells, nnz_per_cell,
-                                           xp=jnp))
-    a_idx, a_val = gen()
+    gen = jax.jit(lambda: synth_bell_planes(genes, cells, nnz_per_cell,
+                                            gene_block, xp=jnp)[:2])
+    b_li, b_val = gen()
+    offsets = synth_bell_planes(genes, 1, nnz_per_cell, gene_block)[2]
     sh = lambda spec: NamedSharding(mesh, spec)
     data = ShardedEllData(
-        a_idx=jax.device_put(a_idx, sh(P(AXIS, None))),
-        a_val=jax.device_put(a_val, sh(P(AXIS, None))),
+        b_li=jax.device_put(b_li, sh(P(AXIS, None))),
+        b_val=jax.device_put(b_val, sh(P(AXIS, None))),
+        b_offsets=offsets,
         nonempty=jax.device_put(jnp.ones((cells,), bool), sh(P(AXIS))),
         gene_nonempty=jax.device_put(jnp.ones((genes,), bool), sh(P())),
         mesh=mesh, genes_true=genes, cells_true=cells,
@@ -111,11 +159,13 @@ def main():
 
     t0 = time.perf_counter()
     data = build_sharded_ell_synth(args.genes, args.cells, args.nnz)
-    jax.block_until_ready(data.a_val)
+    jax.block_until_ready(data.b_val)
     gen_s = time.perf_counter() - t0
 
     eng = ShardedEllEngine(None, data=data)
-    plane_bytes = data.a_idx.nbytes + data.a_val.nbytes
+    plane_bytes = data.b_li.nbytes + data.b_val.nbytes
+    n_gb = args.genes // data.gene_block
+    nnz_cell = (args.nnz // n_gb) * n_gb
 
     # fused loop in chunks of 5 iterations per device call: amortizes the
     # tunneled relay's per-call argument overhead (~7 s on 3.4 GB planes)
@@ -140,8 +190,8 @@ def main():
     print(json.dumps({
         "metric": "largescale_ell_fit",
         "cells": args.cells, "genes": args.genes, "k": args.k,
-        "nnz_per_cell": args.nnz,
-        "density": round(args.nnz / args.genes, 4),
+        "nnz_per_cell": nnz_cell,
+        "density": round(nnz_cell / args.genes, 4),
         "masked": bool(args.masked),
         "plane_gib": round(plane_bytes / 2**30, 2),
         "gen_seconds": round(gen_s, 1),

@@ -1,12 +1,21 @@
-"""Multi-chip sharded ALS over ELL-packed sparse shards — the million-cell path.
+"""Multi-chip sharded ALS over blocked-ELL sparse shards — the million-cell path.
 
-Combines the cell-mesh engine (parallel/sharded.py) with sparse storage
-(sparse/ell.py): each chip holds only its cells' nnz-padded index/value
-A-planes (~10-20x smaller than dense for scRNA). NO transpose copy exists —
-the w-update right-hand sides and masked Gram corrections are accumulated
-over the same cell-block tiles (``B_w += tile_b^T @ H_b``), so the
-reference's 2x A+At memory trade (reference:R/run_nmf.R:40) disappears.
-Compute tiles are densified per block on device, so the masked-CV math is
+Combines the cell-mesh engine (parallel/sharded.py) with sparse storage:
+each chip holds only its cells' nnz-padded index/value A-planes (~10-20x
+smaller than dense for scRNA). NO transpose copy exists — the w-update
+right-hand sides and masked Gram corrections are accumulated over the same
+cell-block tiles (``B_w += tile_b^T @ H_b``), so the reference's 2x A+At
+memory trade (reference:R/run_nmf.R:40) disappears.
+
+Storage is **blocked ELL**: each cell's nonzeros are partitioned by gene
+block at ingest and stored as per-block fixed-width planes of LOCAL gene
+indices (pad = -1) and values (pad = 0). Compute tiles are then built per
+(cell block x gene block) as a statically-unrolled multiply-compare-sum
+over the tiny per-block window — a single fused VPU kernel with contiguous
+loads and NO gather/scatter. (TPU has no scatter hardware: the previous
+row-ELL ``tile.at[rows, idx].add(val)`` densify measured 4.4 s per pass on
+the 524k-cell operand vs ~0.5 s for this formulation —
+benchmarks/probe_ell_spmm.py.) The masked-CV math on the densified tiles is
 identical to the dense engine's — and the counter-RNG masks are keyed by
 global ids, so models are independent of mesh size and storage layout
 (tested).
@@ -67,18 +76,24 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class ShardedEllData:
-    """Cell-sharded ELL planes. A-planes ONLY — no transpose copy.
+    """Cell-sharded blocked-ELL planes. A-planes ONLY — no transpose copy.
 
     The reference pays 2x memory keeping both A and At
     (reference:R/run_nmf.R:40, SURVEY.md hard part 4). Here the w-update
     right-hand sides are accumulated over cell blocks from the same
     A-planes (``B_w += tile_b^T @ H_b``), so the transpose never exists:
     half the HBM, and multi-host ingest needs no distributed transpose.
+
+    Plane rows are cells. Columns are partitioned per gene block: the slice
+    ``[:, b_offsets[gb]:b_offsets[gb+1]]`` holds that cell's nonzeros whose
+    gene lies in ``[gb*gene_block, (gb+1)*gene_block)``, as LOCAL indices
+    ``gene - gb*gene_block`` (pad -1) and values (pad 0). Per-block widths
+    are the max over all cells (agreed across hosts), rounded to 8.
     """
 
-    # A: cells are plane rows, row-ids are GLOBAL gene indices
-    a_idx: jnp.ndarray          # (cells_pad, max_nnz_a) i32, sharded P(AXIS, None)
-    a_val: jnp.ndarray          # (cells_pad, max_nnz_a) f32
+    b_li: jnp.ndarray           # (cells_pad, total_w) i32 local gene ids, P(AXIS, None)
+    b_val: jnp.ndarray          # (cells_pad, total_w) f32, P(AXIS, None)
+    b_offsets: Tuple[int, ...]  # (n_gene_blocks + 1,) static host ints
     nonempty: jnp.ndarray       # (cells_pad,) bool, P(AXIS)
     gene_nonempty: jnp.ndarray  # (genes_pad,) bool, replicated
     mesh: Mesh
@@ -90,14 +105,59 @@ class ShardedEllData:
     gene_block: int
 
 
-def _pack_ell(csc: sp.csc_matrix, cols_pad: int, max_nnz: int, pad_row: int):
-    from singlet_tpu import native
+def bell_widths(A: sp.csc_matrix, n_gb: int, gene_block: int) -> np.ndarray:
+    """Per-gene-block max nonzero count over columns of CSC ``A`` —
+    the (unrounded) blocked-ELL plane widths."""
+    cols = A.shape[1]
+    if A.nnz == 0 or cols == 0:
+        return np.zeros(n_gb, np.int64)
+    gb_of = A.indices.astype(np.int64) // gene_block
+    col_of = np.repeat(np.arange(cols, dtype=np.int64), np.diff(A.indptr))
+    counts = np.bincount(col_of * n_gb + gb_of,
+                         minlength=cols * n_gb).reshape(cols, n_gb)
+    return counts.max(axis=0)
 
-    return native.csc_to_ell(csc, cols_pad, max_nnz, pad_row)
+
+def widths_to_offsets(widths: np.ndarray) -> Tuple[int, ...]:
+    """Round per-block widths to sublane multiples (min 8) and prefix-sum
+    into static plane column offsets."""
+    w = np.maximum(_round_up_arr(np.asarray(widths, np.int64), 8), 8)
+    return tuple(int(x) for x in np.concatenate([[0], np.cumsum(w)]))
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
+def _pack_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
+               offsets: Tuple[int, ...]):
+    """CSC -> blocked-ELL planes (vectorized host pack; O(nnz))."""
+    A = A.tocsc()
+    A.sort_indices()
+    cols = A.shape[1]
+    total_w = offsets[-1]
+    li = np.full((cols_pad, total_w), -1, np.int32)
+    lv = np.zeros((cols_pad, total_w), np.float32)
+    if A.nnz:
+        nnz_col = np.diff(A.indptr)
+        gb_of = A.indices.astype(np.int64) // gene_block
+        col_of = np.repeat(np.arange(cols, dtype=np.int64), nnz_col)
+        pos = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+            A.indptr[:-1].astype(np.int64), nnz_col)
+        # rank within the (col, gb) run: runs are contiguous because CSC
+        # column indices are sorted
+        new_run = np.ones(A.nnz, bool)
+        new_run[1:] = (col_of[1:] != col_of[:-1]) | (gb_of[1:] != gb_of[:-1])
+        run_id = np.cumsum(new_run) - 1
+        rank = pos - pos[new_run][run_id]
+        dest = np.asarray(offsets, np.int64)[gb_of] + rank
+        li[col_of, dest] = (A.indices - gb_of * gene_block).astype(np.int32)
+        lv[col_of, dest] = A.data.astype(np.float32)
+    return li, lv
 
 
 def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
-                 gene_block: int = 2048) -> Tuple[int, int, int, int]:
+                 gene_block: int = 512) -> Tuple[int, int, int, int]:
     """(genes_pad, cells_pad, cell_block, gene_block) for an ELL-sharded
     operand on this mesh — the single source of truth shared by single-host
     ``shard_ell_data`` and multi-host ``shard_ell_from_local`` so both
@@ -111,18 +171,19 @@ def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
 
 
 def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
-                   gene_block: int = 2048) -> ShardedEllData:
-    """Build cell-sharded ELL A-planes from genes x cells sparse input
-    (single process holds the full matrix). No transpose is built."""
+                   gene_block: int = 512) -> ShardedEllData:
+    """Build cell-sharded blocked-ELL A-planes from genes x cells sparse
+    input (single process holds the full matrix). No transpose is built."""
     A = sp.csc_matrix(A)
     genes, cells = A.shape
     genes_pad, cells_pad, cell_block, gene_block = ell_geometry(
         genes, cells, mesh, cell_block, gene_block)
+    n_gb = genes_pad // gene_block
+
+    offsets = widths_to_offsets(bell_widths(A, n_gb, gene_block))
+    b_li, b_val = _pack_bell(A, cells_pad, gene_block, offsets)
 
     nnz_a = np.diff(A.indptr)
-    max_nnz_a = _round_up(max(int(nnz_a.max()), 1), 8)
-    a_idx, a_val = _pack_ell(A, cells_pad, max_nnz_a, genes_pad - 1)
-
     ne = np.zeros(cells_pad, bool)
     ne[:cells] = nnz_a > 0
     gne = np.zeros(genes_pad, bool)
@@ -130,8 +191,9 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
 
     sh = lambda spec: NamedSharding(mesh, spec)
     return ShardedEllData(
-        a_idx=jax.device_put(a_idx, sh(P(AXIS, None))),
-        a_val=jax.device_put(a_val, sh(P(AXIS, None))),
+        b_li=jax.device_put(b_li, sh(P(AXIS, None))),
+        b_val=jax.device_put(b_val, sh(P(AXIS, None))),
+        b_offsets=offsets,
         nonempty=jax.device_put(ne, sh(P(AXIS))),
         gene_nonempty=jax.device_put(gne, sh(P())),
         mesh=mesh, genes_true=genes, cells_true=cells,
@@ -152,7 +214,7 @@ def _allgather_max(vals: Tuple[int, ...]) -> Tuple[int, ...]:
 
 def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
                          mesh: Mesh, cell_block: int = 2048,
-                         gene_block: int = 2048) -> ShardedEllData:
+                         gene_block: int = 512) -> ShardedEllData:
     """Assemble the global ELL-sharded operand from per-host column chunks.
 
     Each host passes only its own (genes x owned_true_cols) slice — the
@@ -186,22 +248,26 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
             f"{expected} true columns, got {local_cols.shape[1]}")
 
     nnz_a = np.diff(local_cols.indptr)
-    local_max_a = int(nnz_a.max()) if nnz_a.size else 0
-    (gmax_a,) = _allgather_max((local_max_a,))
-    max_nnz_a = _round_up(max(gmax_a, 1), 8)
+    n_gb = genes_pad // gene_block
+    # agree the per-gene-block plane widths across hosts (one allgather of
+    # n_gb small ints), so every process packs the identical global layout
+    widths = _allgather_max(tuple(
+        int(x) for x in bell_widths(local_cols, n_gb, gene_block)))
+    offsets = widths_to_offsets(np.asarray(widths))
+    total_w = offsets[-1]
 
     width = per_proc * cells_local
-    a_idx, a_val = _pack_ell(local_cols, width, max_nnz_a, genes_pad - 1)
+    b_li, b_val = _pack_bell(local_cols, width, gene_block, offsets)
 
     ne_loc = np.zeros(width, bool)
     ne_loc[: nnz_a.size] = nnz_a > 0
 
     sh = lambda spec: NamedSharding(mesh, spec)
     mk = jax.make_array_from_process_local_data
-    a_idx_g = mk(sh(P(AXIS, None)), a_idx,
-                 global_shape=(cells_pad, max_nnz_a))
-    a_val_g = mk(sh(P(AXIS, None)), a_val,
-                 global_shape=(cells_pad, max_nnz_a))
+    a_idx_g = mk(sh(P(AXIS, None)), b_li,
+                 global_shape=(cells_pad, total_w))
+    a_val_g = mk(sh(P(AXIS, None)), b_val,
+                 global_shape=(cells_pad, total_w))
     ne_g = mk(sh(P(AXIS)), ne_loc, global_shape=(cells_pad,))
     # validate the contiguity assumption: this process's addressable A-plane
     # shards must cover exactly [start, stop)
@@ -225,7 +291,7 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
                   out_shardings=sh(P()))(gne_sharded)
 
     return ShardedEllData(
-        a_idx=a_idx_g, a_val=a_val_g,
+        b_li=a_idx_g, b_val=a_val_g, b_offsets=offsets,
         nonempty=ne_g, gene_nonempty=gne,
         mesh=mesh, genes_true=genes, cells_true=cells_true,
         genes_pad=genes_pad, cells_pad=cells_pad,
@@ -235,7 +301,7 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
 
 def shard_ell_from_staged(directory: str, mesh: Mesh,
                           cell_block: int = 2048,
-                          gene_block: int = 2048) -> ShardedEllData:
+                          gene_block: int = 512) -> ShardedEllData:
     """Multi-host ingest from a staged chunk directory: each host reads ONLY
     the SVC shards overlapping its owned cell range, slices them to the
     range, and contributes via :func:`shard_ell_from_local`.
@@ -282,12 +348,17 @@ def shard_ell_from_staged(directory: str, mesh: Mesh,
                                 gene_block=gene_block)
 
 
-def _densify(idx, val, n_rows_out):
-    """(block, max_nnz) ELL rows -> dense (block, n_rows_out) tile."""
-    block = idx.shape[0]
-    tile = jnp.zeros((block, n_rows_out), val.dtype)
-    rows = jnp.arange(block)[:, None]
-    return tile.at[rows, idx].add(val)
+def _bell_tile(li, lv, gene_block: int):
+    """(block, width) local-index blocked-ELL slice -> dense
+    (block, gene_block) tile, as a statically-unrolled chain of
+    multiply-compare-sum FMAs: XLA fuses the whole chain into ONE VPU
+    kernel with no gather/scatter and no 3D intermediate (pad entries have
+    li = -1 / val = 0, so they contribute exactly zero)."""
+    iota = jnp.arange(gene_block, dtype=li.dtype)[None, :]
+    tile = jnp.zeros((li.shape[0], gene_block), lv.dtype)
+    for w in range(li.shape[1]):
+        tile = tile + lv[:, w:w + 1] * (li[:, w:w + 1] == iota)
+    return tile
 
 
 def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
@@ -332,9 +403,20 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
     gene_block = data.gene_block
     genes_pad, cells_true, genes_true = (data.genes_pad, data.cells_true,
                                          data.genes_true)
+    n_gb = genes_pad // gene_block
+    off = data.b_offsets
 
     def _local_cell_ids(dev):
         return dev * cells_local + jnp.arange(cells_local)
+
+    def _gb_tiles(li, lv):
+        """Per-gene-block dense tiles of one cell block (static slices)."""
+        for gb in range(n_gb):
+            yield gb, _bell_tile(li[:, off[gb]:off[gb + 1]],
+                                 lv[:, off[gb]:off[gb + 1]], gene_block)
+
+    def _slice2(arr, start, size):
+        return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
 
     def _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
                         packed_w=None, k=None, iu=None):
@@ -358,28 +440,27 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         return Ws.reshape(genes_pad, -1)
 
-    def _plain(a_idx, a_val, ne_loc, gene_ne, W, H_loc,
+    def _plain(b_li, b_val, ne_loc, gene_ne, W, H_loc,
                L1_h, L1_w, L2_h, L2_w):
-        # Blocked over cells: densify one ELL cell block into an MXU-dense
-        # (block, genes) tile, then dense matmuls. The whole-plane
-        # gather-einsum alternative materializes a (cells, nnz, k)
-        # intermediate — 100s of GB at million-cell scale — and a
-        # transposed-plane w-update needs (gene_block, cells_local) tiles
-        # that grow with the cell axis. Instead the w-update right-hand
-        # sides accumulate over the SAME cell-block tiles
+        # Blocked over (cells x gene blocks): each blocked-ELL slice is
+        # expanded to an MXU-dense (cell_block, gene_block) tile by the
+        # fused compare-sum (_bell_tile), then dense matmuls. The w-update
+        # right-hand sides accumulate over the SAME cell-block tiles
         # (B_w += tile^T @ H_b), so no transpose storage exists and every
-        # buffer is O(block * genes).
+        # buffer is O(cell_block * gene_block).
         k = W.shape[1]
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
 
         def h_blk(_, bi):
             start = bi * cell_block
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
-            tile = _densify(idx, val, genes_pad)          # (blk, genes_pad)
-            B = jnp.dot(tile, W, precision=MM_PRECISION)
-            Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
-            ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
+            li = _slice2(b_li, start, cell_block)
+            lv = _slice2(b_val, start, cell_block)
+            B = jnp.zeros((cell_block, k), W.dtype)
+            for gb, tile in _gb_tiles(li, lv):
+                Wb = W[gb * gene_block:(gb + 1) * gene_block]
+                B = B + jnp.dot(tile, Wb, precision=MM_PRECISION)
+            Y0 = _slice2(H_loc, start, cell_block)
+            ne = _slice2(ne_loc, start, cell_block)
             return None, solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h,
                                     update_mask=ne)
 
@@ -398,11 +479,12 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         # pass 2: accumulate w-update RHS over cell blocks
         def acc_blk(Bw, bi):
             start = bi * cell_block
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
-            tile = _densify(idx, val, genes_pad)
-            Hb = jax.lax.dynamic_slice_in_dim(H_new, start, cell_block, 0)
-            return Bw + jnp.dot(tile.T, Hb, precision=MM_PRECISION), None
+            li = _slice2(b_li, start, cell_block)
+            lv = _slice2(b_val, start, cell_block)
+            Hb = _slice2(H_new, start, cell_block)
+            parts = [jnp.dot(tile.T, Hb, precision=MM_PRECISION)
+                     for _, tile in _gb_tiles(li, lv)]
+            return Bw + jnp.concatenate(parts, axis=0), None
 
         Bw, _ = jax.lax.scan(acc_blk, jnp.zeros((genes_pad, k), W.dtype),
                              jnp.arange(cells_local // cell_block))
@@ -413,7 +495,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         tol = cor_distance(W_new[:genes_true], W[:genes_true])
         return W_new, H_new, d, tol
 
-    def _masked(a_idx, a_val, ne_loc, gene_ne, W, H_loc,
+    def _masked(b_li, b_val, ne_loc, gene_ne, W, H_loc,
                 seed, L1_h, L1_w, L2_h, L2_w, k_true):
         k = W.shape[1]
         dev = jax.lax.axis_index(AXIS)
@@ -426,22 +508,28 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         Pw = packed_outer_products(W, iu)
 
+        def _mask_of(ids):
+            m = mask_block(seed, ids, gene_ids, inv_density)
+            return m & (ids < cells_true)[:, None] & \
+                (gene_ids < genes_true)[None, :]
+
         def h_blk(_, bi):
             start = bi * cell_block
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                cell_block)
-            m = mask_block(seed, ids, gene_ids, inv_density)
-            m = m & (ids < cells_true)[:, None] & \
-                (gene_ids < genes_true)[None, :]
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
-            tile = _densify(idx, val, genes_pad)         # (blk, genes_pad)
+            m = _mask_of(ids)
+            li = _slice2(b_li, start, cell_block)
+            lv = _slice2(b_val, start, cell_block)
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
-            B = jnp.dot(tile * keep, W, precision=MM_PRECISION)
+            B = jnp.zeros((cell_block, k), W.dtype)
+            for gb, tile in _gb_tiles(li, lv):
+                gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+                B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
+                                precision=MM_PRECISION)
             packed = jnp.dot(m.astype(W.dtype), Pw, precision=MM_PRECISION)
             a_blk = a_full[None] - unpack_sym(packed, k, iu)
-            Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
-            ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
+            Y0 = _slice2(H_loc, start, cell_block)
+            ne = _slice2(ne_loc, start, cell_block)
             return None, solve_nnls(a_blk, B, Y0, L1=L1_h, L2=L2_h,
                                     update_mask=ne, n_coord=n_coord)
 
@@ -464,15 +552,16 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             start = bi * cell_block
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                cell_block)
-            m = mask_block(seed, ids, gene_ids, inv_density)
-            m = m & (ids < cells_true)[:, None] & \
-                (gene_ids < genes_true)[None, :]
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
-            tile = _densify(idx, val, genes_pad)
+            m = _mask_of(ids)
+            li = _slice2(b_li, start, cell_block)
+            lv = _slice2(b_val, start, cell_block)
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
-            Hb = jax.lax.dynamic_slice_in_dim(H_new, start, cell_block, 0)
-            Bw = Bw + jnp.dot((tile * keep).T, Hb, precision=MM_PRECISION)
+            Hb = _slice2(H_new, start, cell_block)
+            parts = [jnp.dot((tile * keep[:, gb * gene_block:
+                                          (gb + 1) * gene_block]).T, Hb,
+                             precision=MM_PRECISION)
+                     for gb, tile in _gb_tiles(li, lv)]
+            Bw = Bw + jnp.concatenate(parts, axis=0)
             Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
             Pk = Pk + jnp.dot(m.astype(W.dtype).T, Ph_b,
                               precision=MM_PRECISION)
@@ -492,7 +581,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         tol = cor_distance(W_new[:genes_true], W[:genes_true], n_true)
         return W_new, H_new, d, tol
 
-    def _mse(a_idx, a_val, W, d, H_loc, seed):
+    def _mse(b_li, b_val, W, d, H_loc, seed):
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
         gene_ids = jnp.arange(genes_pad)
@@ -505,13 +594,15 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             m = mask_block(seed, ids, gene_ids, inv_density)
             m = m & (ids < cells_true)[:, None] & \
                 (gene_ids < genes_true)[None, :]
-            idx = jax.lax.dynamic_slice_in_dim(a_idx, start, cell_block, 0)
-            val = jax.lax.dynamic_slice_in_dim(a_val, start, cell_block, 0)
-            tile = _densify(idx, val, genes_pad)
-            Hb = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
-            pred = jnp.dot(Hb, Wd.T, precision=MM_PRECISION)
-            diff2 = jnp.square(pred - tile)
-            s = jnp.sum(jnp.where(m, diff2, 0.0), axis=1)
+            li = _slice2(b_li, start, cell_block)
+            lv = _slice2(b_val, start, cell_block)
+            Hb = _slice2(H_loc, start, cell_block)
+            s = jnp.zeros((cell_block,), W.dtype)
+            for gb, tile in _gb_tiles(li, lv):
+                gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+                pred = jnp.dot(Hb, Wd[gsl].T, precision=MM_PRECISION)
+                diff2 = jnp.square(pred - tile)
+                s = s + jnp.sum(jnp.where(m[:, gsl], diff2, 0.0), axis=1)
             n = jnp.sum(m, axis=1)
             return acc + jnp.sum(jnp.where(n > 0, s / jnp.maximum(n, 1),
                                            0.0)), None
@@ -656,7 +747,7 @@ class ShardedEllEngine:
     """
 
     def __init__(self, A: Optional[sp.spmatrix], mesh: Optional[Mesh] = None,
-                 cell_block: int = 2048, gene_block: int = 2048,
+                 cell_block: int = 2048, gene_block: int = 512,
                  data: Optional[ShardedEllData] = None) -> None:
         self.mesh = (data.mesh if data is not None
                      else (mesh or make_mesh()))
@@ -719,7 +810,7 @@ class ShardedEllEngine:
         W = jax.device_put(W, NamedSharding(self.mesh, P(None, None)))
         H = jax.device_put(jnp.zeros((data.cells_pad, k_pad), jnp.float32),
                            NamedSharding(self.mesh, P(AXIS, None)))
-        args = (data.a_idx, data.a_val, data.nonempty, data.gene_nonempty)
+        args = (data.b_li, data.b_val, data.nonempty, data.gene_nonempty)
         return W, H, args, k_pad
 
     # ---------------------------------------------------------------- fits
@@ -831,7 +922,7 @@ class ShardedEllEngine:
         )
         if masked:
             out["test_mse"] = float(
-                mse_fn(self.data.a_idx, self.data.a_val, W, d, H, sp_))
+                mse_fn(self.data.b_li, self.data.b_val, W, d, H, sp_))
         return out
 
     def ard_fit(self, k: int, w_init=None, mask_seed: int = 0,
@@ -921,7 +1012,7 @@ class ShardedEllEngine:
                                              jnp.float32(L2), jnp.int32(k))
                 tol_ = float(tol_j)
                 if it % trace_test_mse == 0:
-                    err = float(mse_fn(self.data.a_idx, self.data.a_val,
+                    err = float(mse_fn(self.data.b_li, self.data.b_val,
                                        W, d, H, sp_))
                     test_mse_t.append(err)
                     iter_t.append(it)
@@ -945,7 +1036,7 @@ class ShardedEllEngine:
 
         if (it % trace_test_mse != 0 and not stopped_early
                 and (not iter_t or iter_t[-1] != it)):
-            err = float(mse_fn(self.data.a_idx, self.data.a_val,
+            err = float(mse_fn(self.data.b_li, self.data.b_val,
                                W, d, H, sp_))
             test_mse_t.append(err)
             iter_t.append(it)

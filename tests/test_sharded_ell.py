@@ -69,7 +69,7 @@ def test_local_ell_ingest_equals_full_ingest(rng, mesh8):
     A = _sparse(rng, genes=52, cells=72)
     full = shard_ell_data(A, mesh8)
     local = shard_ell_from_local(A, A.shape[1], mesh8)
-    for f in ("a_idx", "a_val", "nonempty", "gene_nonempty"):
+    for f in ("b_li", "b_val", "nonempty", "gene_nonempty"):
         np.testing.assert_array_equal(np.asarray(getattr(local, f)),
                                       np.asarray(getattr(full, f)), err_msg=f)
     assert (local.cell_block, local.gene_block) == (full.cell_block,
@@ -157,19 +157,34 @@ def test_sharded_checkpoint_resume_identical(rng, mesh8, tmp_path):
 
 
 def test_largescale_synth_planes_regular(rng):
-    """The closed-form large-scale operand has p distinct genes per cell
-    and covers every gene (small-shape check of benchmarks/largescale)."""
+    """The closed-form large-scale operand has p distinct genes per cell,
+    and the blocked planes describe the SAME operand as the row planes
+    (small-shape check of benchmarks/largescale)."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from benchmarks.largescale import synth_ell_planes
+    from benchmarks.largescale import synth_bell_planes, synth_ell_planes
 
-    genes, cells, p = 32, 96, 8
-    a_idx, a_val = synth_ell_planes(genes, cells, p, step=7, xp=np)
+    genes, cells, p, gb = 32, 96, 8, 8
+    a_idx, a_val = synth_ell_planes(genes, cells, p, gene_block=gb, xp=np)
     assert a_idx.shape == (cells, p) and a_val.shape == (cells, p)
     for c in range(cells):
         assert len(set(a_idx[c].tolist())) == p    # distinct within a cell
-    assert set(a_idx.ravel().tolist()) == set(range(genes))
+    assert (0 <= a_idx).all() and (a_idx < genes).all()
     assert (a_val > 0).all()
+
+    b_li, b_val, offsets = synth_bell_planes(genes, cells, p,
+                                             gene_block=gb, xp=np)
+    assert offsets[-1] == b_li.shape[1]
+    n_gb = genes // gb
+    for c in range(0, cells, 17):
+        row = set()
+        for g in range(n_gb):
+            sl = slice(offsets[g], offsets[g + 1])
+            live = b_li[c, sl] >= 0
+            row |= {(g * gb + int(i), float(v)) for i, v in
+                    zip(b_li[c, sl][live], b_val[c, sl][live])}
+        ref = {(int(i), float(v)) for i, v in zip(a_idx[c], a_val[c])}
+        assert row == ref
 
 
 def test_largescale_synth_fit_on_mesh(rng):
@@ -192,7 +207,7 @@ def test_largescale_synth_fit_on_mesh(rng):
 
     # ground truth: the same matrix through the scipy ingest path
     from benchmarks.largescale import synth_ell_planes
-    a_idx, a_val = synth_ell_planes(genes, cells, p, xp=np)
+    a_idx, a_val = synth_ell_planes(genes, cells, p, gene_block=64, xp=np)
     A = sp.csc_matrix(
         (a_val.ravel(),
          (a_idx.ravel(), np.repeat(np.arange(cells), p))),
@@ -240,7 +255,7 @@ def test_staged_dir_ingest_equals_full_ingest(rng, mesh8, tmp_path):
 
     full = shard_ell_data(A, mesh8)
     staged = shard_ell_from_staged(d, mesh8)
-    for f in ("a_idx", "a_val", "nonempty", "gene_nonempty"):
+    for f in ("b_li", "b_val", "nonempty", "gene_nonempty"):
         np.testing.assert_array_equal(np.asarray(getattr(staged, f)),
                                       np.asarray(getattr(full, f)),
                                       err_msg=f)
