@@ -170,7 +170,9 @@ def main():
     # fused loop in chunks of 5 iterations per device call: amortizes the
     # tunneled relay's per-call argument overhead (~7 s on 3.4 GB planes)
     # while staying under its single-execution deadline
-    chunk = 5
+    # plain iterations are ~2 s — 10 per call stays well under the relay's
+    # single-execution deadline; masked iterations are several-x heavier
+    chunk = 5 if args.masked else min(args.maxit, 10)
     eng.fit(args.k, tol=0.0, maxit=chunk, masked=args.masked,
             inv_density=20, chunk_iters=chunk)      # compile + warm
     t0 = time.perf_counter()

@@ -260,3 +260,67 @@ def test_staged_dir_ingest_equals_full_ingest(rng, mesh8, tmp_path):
                                       np.asarray(getattr(full, f)),
                                       err_msg=f)
     assert staged.cells_true == A.shape[1]
+
+
+def test_bell_pack_roundtrip(rng):
+    """bell_widths / widths_to_offsets / _pack_bell reconstruct the exact
+    dense matrix through _bell_tile (unit test of the blocked layout)."""
+    import jax.numpy as jnp
+
+    from singlet_tpu.parallel.sharded_ell import (
+        _bell_tile,
+        _pack_bell,
+        bell_widths,
+        widths_to_offsets,
+    )
+
+    genes, cells, gene_block = 72, 37, 24   # genes_pad = 72, 3 gene blocks
+    A = sp.random(genes, cells, density=0.3, random_state=3,
+                  dtype=np.float32, format="csc")
+    A.data = np.abs(A.data) + 0.1
+    n_gb = genes // gene_block
+    widths = bell_widths(A, n_gb, gene_block)
+    assert widths.shape == (n_gb,)
+    # widths are exact per-block column maxima
+    D = A.toarray()
+    for gb in range(n_gb):
+        blk = D[gb * gene_block:(gb + 1) * gene_block]
+        assert widths[gb] == (blk != 0).sum(axis=0).max()
+
+    offsets = widths_to_offsets(widths)
+    assert all(o % 8 == 0 for o in offsets)
+    cols_pad = 40
+    li, lv = _pack_bell(A, cols_pad, gene_block, offsets)
+    assert li.shape == (cols_pad, offsets[-1])
+    # structural pads carry li == -1 and value 0
+    assert (lv[li == -1] == 0).all()
+
+    dense = np.concatenate(
+        [np.asarray(_bell_tile(jnp.asarray(li[:, offsets[gb]:offsets[gb+1]]),
+                               jnp.asarray(lv[:, offsets[gb]:offsets[gb+1]]),
+                               gene_block))
+         for gb in range(n_gb)], axis=1)     # (cols_pad, genes)
+    np.testing.assert_allclose(dense[:cells].T, D, rtol=1e-6)
+    assert dense[cells:].sum() == 0
+
+
+def test_bell_pack_empty_and_single_column():
+    from singlet_tpu.parallel.sharded_ell import (
+        _pack_bell,
+        bell_widths,
+        widths_to_offsets,
+    )
+
+    empty = sp.csc_matrix((16, 0), dtype=np.float32)
+    w = bell_widths(empty, 2, 8)
+    assert (w == 0).all()
+    off = widths_to_offsets(w)
+    assert off == (0, 8, 16)                 # min width 8 per block
+    li, lv = _pack_bell(empty, 4, 8, off)
+    assert (li == -1).all() and (lv == 0).all()
+
+    one = sp.csc_matrix(np.array([[0.], [2.5], [0.], [1.0]], np.float32))
+    off1 = widths_to_offsets(bell_widths(one, 1, 4))
+    li1, lv1 = _pack_bell(one, 8, 4, off1)
+    assert sorted(li1[0][li1[0] >= 0].tolist()) == [1, 3]
+    assert sorted(lv1[0][lv1[0] > 0].tolist()) == [1.0, 2.5]
