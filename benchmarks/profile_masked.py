@@ -1,0 +1,140 @@
+"""Decompose the masked (CV) large-scale iteration: RNG mask build vs
+packed-Gram matmuls vs per-cell-Gram NNLS vs masked tile products, on the
+real operand shapes (524k cells x 16k genes, k=100, 5% mask).
+
+Sync discipline: scalar fetch per call (block_until_ready does not wait on
+the tunneled platform).
+
+Run: python benchmarks/profile_masked.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/singlet_tpu_jax_cache")
+    from benchmarks.largescale import build_sharded_ell_synth
+    from singlet_tpu.ops.linalg import (
+        MM_PRECISION, packed_outer_products, triu_pairs, unpack_sym)
+    from singlet_tpu.ops.nnls import solve_nnls
+    from singlet_tpu.ops.rngmask import mask_block, seed_pair
+    from singlet_tpu.parallel.sharded_ell import _bell_tile
+
+    genes, cells, p, k = 16384, 524288, 824, 100
+    data = build_sharded_ell_synth(genes, cells, p)
+    cell_block, gene_block = data.cell_block, data.gene_block
+    n_blocks = cells // cell_block
+    n_gb = genes // gene_block
+    off = data.b_offsets
+    b_li, b_val = data.b_li, data.b_val
+    float(jnp.sum(b_val[0]))
+    inv_density = 20
+    seed = seed_pair(123)
+    iu = triu_pairs(k)
+    npairs = k * (k + 1) // 2
+    gene_ids = jnp.arange(genes)
+
+    def slice_blk(arr, bi, blk=cell_block):
+        return jax.lax.dynamic_slice_in_dim(arr, bi * blk, blk, 0)
+
+    def mask_of(bi):
+        ids = bi * cell_block + jnp.arange(cell_block)
+        return mask_block(seed, ids, gene_ids, inv_density)
+
+    def scan_blocks(blk_fn):
+        acc, _ = jax.lax.scan(lambda a, bi: (blk_fn(a, bi), None),
+                              jnp.zeros(()), jnp.arange(n_blocks))
+        return acc
+
+    @jax.jit
+    def mask_only(seed):
+        return scan_blocks(
+            lambda acc, bi: acc + jnp.sum(mask_of(bi)[::512, ::512]))
+
+    @jax.jit
+    def mask_pw(seed, Pw):
+        def blk(acc, bi):
+            m = mask_of(bi)
+            packed = jnp.dot(m.astype(jnp.float32), Pw,
+                             precision=MM_PRECISION)
+            return acc + packed[0, 0] + packed[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def gram_prep_nnls(packed0, a_full, B, X0):
+        """unpack + per-cell-Gram NNLS on one block's worth, scanned."""
+        def blk(acc, bi):
+            pk = packed0 + acc * 1e-30    # chain dependency
+            a_blk = a_full[None] - unpack_sym(pk, k, iu)
+            Hb = solve_nnls(a_blk, B, X0, L1=0.01)
+            return acc + Hb[0, 0] + Hb[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def masked_tiles_dot(seed, b_val, b_li, W):
+        def blk(acc, bi):
+            m = mask_of(bi)
+            keep = jnp.where(m, 0.0, 1.0)
+            li, lv = slice_blk(b_li, bi), slice_blk(b_val, bi)
+            B = jnp.zeros((cell_block, k), jnp.float32)
+            for gb in range(n_gb):
+                tile = _bell_tile(li[:, off[gb]:off[gb + 1]],
+                                  lv[:, off[gb]:off[gb + 1]], gene_block)
+                gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+                B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
+                                precision=MM_PRECISION)
+            return acc + B[0, 0] + B[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def packed_h_accum(seed, H):
+        def blk(acc, bi):
+            m = mask_of(bi)
+            Hb = slice_blk(H, bi)
+            Ph_b = packed_outer_products(Hb, iu)
+            Pk = jnp.dot(m.astype(jnp.float32).T, Ph_b,
+                         precision=MM_PRECISION)
+            return acc + Pk[0, 0] + Pk[-1, -1]
+        return scan_blocks(blk)
+
+    key = jax.random.PRNGKey(0)
+    W = jax.random.uniform(key, (genes, k), jnp.float32)
+    H = jax.random.uniform(jax.random.PRNGKey(1), (cells, k), jnp.float32)
+    Pw = packed_outer_products(W, iu)
+    a_full = jnp.dot(W.T, W) + 1e-15 * jnp.eye(k)
+    packed0 = jax.random.uniform(jax.random.PRNGKey(2),
+                                 (cell_block, npairs), jnp.float32)
+    B0 = jax.random.uniform(jax.random.PRNGKey(3), (cell_block, k))
+    X0 = jnp.zeros((cell_block, k), jnp.float32)
+
+    def timed(f, *args, n=2):
+        float(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            float(f(*args))
+        return round((time.perf_counter() - t0) / n, 3)
+
+    res = {}
+    res["mask_only_s"] = timed(mask_only, seed)
+    print("mask_only", res["mask_only_s"], flush=True)
+    res["mask_pw_s"] = timed(mask_pw, seed, Pw)
+    print("mask_pw", res["mask_pw_s"], flush=True)
+    res["gram_prep_nnls_s"] = timed(gram_prep_nnls, packed0, a_full, B0, X0)
+    print("gram_prep_nnls", res["gram_prep_nnls_s"], flush=True)
+    res["masked_tiles_dot_s"] = timed(masked_tiles_dot, seed, b_val, b_li, W)
+    print("masked_tiles_dot", res["masked_tiles_dot_s"], flush=True)
+    res["packed_h_accum_s"] = timed(packed_h_accum, seed, H)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,12 +97,21 @@ def packed_outer_products(X: jnp.ndarray, iu) -> jnp.ndarray:
 
 
 def unpack_sym(packed: jnp.ndarray, k: int, iu) -> jnp.ndarray:
-    """Inverse of the triangular packing: (..., npairs) -> (..., k, k)."""
+    """Inverse of the triangular packing: (..., npairs) -> (..., k, k).
+
+    Implemented as a STATIC-index gather (a pure permutation copy XLA
+    lowers to strided moves), not a scatter — scatter has no TPU hardware
+    and serializes (same pathology as the old ELL densify; see
+    docs/ARCHITECTURE.md section 2). The (i, j) entry reads the packed
+    position of its sorted pair, covering both triangles in one take."""
+    npairs = iu[0].shape[0]
+    pos = np.zeros((k, k), np.int32)
+    ar = np.arange(npairs, dtype=np.int32)
+    pos[iu[0], iu[1]] = ar
+    pos[iu[1], iu[0]] = ar
     batch = packed.shape[:-1]
-    full = jnp.zeros(batch + (k, k), dtype=packed.dtype)
-    full = full.at[..., iu[0], iu[1]].set(packed)
-    eye = jnp.eye(k, dtype=packed.dtype)
-    return full + jnp.swapaxes(full, -1, -2) - full * eye
+    return jnp.take(packed, jnp.asarray(pos.reshape(-1)),
+                    axis=-1).reshape(batch + (k, k))
 
 
 @partial(jax.jit, static_argnames=("k",))
