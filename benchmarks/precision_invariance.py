@@ -40,8 +40,8 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_child(precision: str):
-    env = dict(os.environ, SINGLET_TPU_MM_PRECISION=precision)
+def run_child(precision: str, **extra_env: str):
+    env = dict(os.environ, SINGLET_TPU_MM_PRECISION=precision, **extra_env)
     out = subprocess.run([sys.executable, "-c", CHILD], env=env,
                          capture_output=True, text=True, timeout=3600,
                          cwd=os.path.dirname(os.path.dirname(
@@ -59,13 +59,21 @@ def main():
     ks = sorted(hi["curve"], key=int)
     max_rel_shift = max(abs(rel["curve"][k] - hi["curve"][k]) / hi["curve"][k]
                        for k in ks)
-    verdict = (hi["best_rank"] == rel["best_rank"]
-               and max_rel_shift < 0.01)
+    # the masked-Gram-specific relaxation (single-pass bf16 products for
+    # mask @ packed_outer_products only — the masked-path bottleneck at
+    # scale, see ops/linalg.py:MASK_MM_PRECISION)
+    mrel = run_child("highest", SINGLET_TPU_MASK_MM_PRECISION="default")
+    max_mask_shift = max(
+        abs(mrel["curve"][k] - hi["curve"][k]) / hi["curve"][k] for k in ks)
+    verdict = (hi["best_rank"] == rel["best_rank"] == mrel["best_rank"]
+               and max_rel_shift < 0.01 and max_mask_shift < 0.01)
     print(json.dumps({
         "metric": "precision_invariance_pbmc3k_cv",
         "best_rank_highest": hi["best_rank"],
         "best_rank_high": rel["best_rank"],
+        "best_rank_mask_bf16": mrel["best_rank"],
         "max_relative_curve_shift": round(max_rel_shift, 6),
+        "max_relative_curve_shift_mask_bf16": round(max_mask_shift, 6),
         "invariant": bool(verdict),
     }))
     return 0 if verdict else 1

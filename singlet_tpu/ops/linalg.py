@@ -32,6 +32,21 @@ MM_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("SINGLET_TPU_MM_PRECISION", "highest").lower()]
 
+# The masked-CV packed-Gram products (mask @ packed_outer_products) are the
+# masked-path bottleneck at scale (~1.8 s per pass at HIGHEST on the
+# 524k-cell k=100 operand; benchmarks/probe_mask_mm.py). The mask operand
+# is exactly representable at any precision (0/1); only the packed outer
+# products round. SINGLET_TPU_MASK_MM_PRECISION=default opts these matmuls
+# (alone) into single-pass bf16 products with f32 accumulation — 2.9x on
+# that phase; the CV-curve invariance guard applies as above. Defaults to
+# MM_PRECISION (reference-exact).
+MASK_MM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+    "": MM_PRECISION,
+}[os.environ.get("SINGLET_TPU_MASK_MM_PRECISION", "").lower()]
+
 
 def gram(X: jnp.ndarray) -> jnp.ndarray:
     """X^T X with 1e-15 diagonal jitter.
@@ -122,5 +137,5 @@ def masked_grams_from_mask(W: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.nda
     """
     iu = triu_pairs(k)
     P = packed_outer_products(W, iu)                      # (genes, npairs)
-    packed = jnp.dot(mask.astype(W.dtype), P, precision=MM_PRECISION)
+    packed = jnp.dot(mask.astype(W.dtype), P, precision=MASK_MM_PRECISION)
     return unpack_sym(packed, k, iu)

@@ -39,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from singlet_tpu.ops.linalg import (
+    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
     packed_outer_products,
@@ -180,7 +181,8 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             tile = jax.lax.dynamic_slice_in_dim(A_loc, start, cell_block, 1)
             keep = jnp.where(m.T, 0.0, 1.0).astype(W.dtype)
             B = jnp.dot((tile * keep).T, W, precision=MM_PRECISION)
-            packed = jnp.dot(m.astype(W.dtype), Pw, precision=MM_PRECISION)
+            packed = jnp.dot(m.astype(W.dtype), Pw,
+                             precision=MASK_MM_PRECISION)
             a_blk = a_full[None] - unpack_sym(packed, k, iu)
             Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
@@ -207,7 +209,8 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             B = jax.lax.psum(
                 jnp.dot(tile * keep, H_new, precision=MM_PRECISION), AXIS)
             packed = jax.lax.psum(
-                jnp.dot(m.astype(W.dtype), Ph, precision=MM_PRECISION), AXIS)
+                jnp.dot(m.astype(W.dtype), Ph,
+                        precision=MASK_MM_PRECISION), AXIS)
             a_blk = a_h[None] - unpack_sym(packed, k, iu)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)

@@ -55,6 +55,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
 from singlet_tpu.ops.linalg import (
+    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
     packed_outer_products,
@@ -526,7 +527,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
                 gsl = slice(gb * gene_block, (gb + 1) * gene_block)
                 B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
                                 precision=MM_PRECISION)
-            packed = jnp.dot(m.astype(W.dtype), Pw, precision=MM_PRECISION)
+            packed = jnp.dot(m.astype(W.dtype), Pw,
+                             precision=MASK_MM_PRECISION)
             a_blk = a_full[None] - unpack_sym(packed, k, iu)
             Y0 = _slice2(H_loc, start, cell_block)
             ne = _slice2(ne_loc, start, cell_block)
@@ -564,7 +566,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             Bw = Bw + jnp.concatenate(parts, axis=0)
             Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
             Pk = Pk + jnp.dot(m.astype(W.dtype).T, Ph_b,
-                              precision=MM_PRECISION)
+                              precision=MASK_MM_PRECISION)
             return (Bw, Pk), None
 
         (Bw, Pk), _ = jax.lax.scan(

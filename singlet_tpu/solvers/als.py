@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from singlet_tpu.ops.linalg import (
+    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
     gram,
@@ -142,7 +143,8 @@ def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
         tile = P.col_block(col_start, block)                     # (rows, blk)
         keep = jnp.where(m.T, jnp.zeros((), X.dtype), jnp.ones((), X.dtype))
         B = jnp.dot((tile * keep).T, X, precision=MM_PRECISION)  # (blk, k)
-        packed = jnp.dot(m.astype(X.dtype), P_pairs, precision=MM_PRECISION)
+        packed = jnp.dot(m.astype(X.dtype), P_pairs,
+                         precision=MASK_MM_PRECISION)
         a_blk = a_full[None, :, :] - unpack_sym(packed, k, iu)
         Y0 = jax.lax.dynamic_slice_in_dim(Y_warm, col_start, block, axis=0)
         ne = jax.lax.dynamic_slice_in_dim(P.nonempty, col_start, block, axis=0)
