@@ -139,6 +139,53 @@ def csc_to_ell(A: sp.csc_matrix, cols_pad: int, max_nnz: int,
     return idx, val
 
 
+def csc_to_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
+                offsets) -> Tuple[np.ndarray, np.ndarray]:
+    """CSC -> blocked-ELL planes (the sharded engine's device layout):
+    local gene indices (pad -1) / values (pad 0) at static per-gene-block
+    column offsets. Native parallel packer; fallback: vectorized numpy."""
+    A = sp.csc_matrix(A)
+    A.sort_indices()
+    cols = A.shape[1]
+    off = np.asarray(offsets, np.int64)
+    total_w = int(off[-1])
+    lib = _load()
+    if lib is None:
+        li = np.full((cols_pad, total_w), -1, np.int32)
+        lv = np.zeros((cols_pad, total_w), np.float32)
+        if A.nnz:
+            nnz_col = np.diff(A.indptr)
+            gb_of = A.indices.astype(np.int64) // gene_block
+            col_of = np.repeat(np.arange(cols, dtype=np.int64), nnz_col)
+            pos = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+                A.indptr[:-1].astype(np.int64), nnz_col)
+            # rank within the (col, gb) run: runs are contiguous because
+            # CSC column indices are sorted
+            new_run = np.ones(A.nnz, bool)
+            new_run[1:] = (col_of[1:] != col_of[:-1]) | \
+                (gb_of[1:] != gb_of[:-1])
+            run_id = np.cumsum(new_run) - 1
+            rank = pos - pos[new_run][run_id]
+            dest = off[gb_of] + rank
+            li[col_of, dest] = (A.indices -
+                                gb_of * gene_block).astype(np.int32)
+            lv[col_of, dest] = A.data.astype(np.float32)
+        return li, lv
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int32)
+    data = A.data.astype(np.float32)
+    li = np.empty((cols_pad, total_w), np.int32)
+    lv = np.empty((cols_pad, total_w), np.float32)
+    lib.singlet_csc_to_bell(cols, cols_pad, gene_block, len(off) - 1,
+                            _ptr(off, ctypes.c_int64),
+                            _ptr(indptr, ctypes.c_int64),
+                            _ptr(indices, ctypes.c_int32),
+                            _ptr(data, ctypes.c_float),
+                            _ptr(li, ctypes.c_int32),
+                            _ptr(lv, ctypes.c_float))
+    return li, lv
+
+
 def log_normalize_inplace(A: sp.csc_matrix, scale_factor: float = 1e4
                           ) -> sp.csc_matrix:
     """Multithreaded LogNormalize on CSC data in place (fallback: preprocess)."""

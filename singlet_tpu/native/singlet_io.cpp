@@ -254,6 +254,47 @@ int singlet_csc_to_ell(int64_t cols, int64_t cols_pad, int64_t max_nnz,
 }
 
 // ---------------------------------------------------------------------------
+// CSC -> blocked-ELL planes: per column, nonzeros partitioned by gene block
+// (indices sorted within a column => blocks are contiguous runs), stored as
+// LOCAL indices (pad -1) and values (pad 0) at static per-block offsets.
+// The device layout of parallel/sharded_ell.py. Parallel over column ranges.
+// ---------------------------------------------------------------------------
+int singlet_csc_to_bell(int64_t cols, int64_t cols_pad, int64_t gene_block,
+                        int64_t n_gb, const int64_t* offsets,
+                        const int64_t* indptr, const int32_t* indices,
+                        const float* data, int32_t* li, float* lv) {
+  const int64_t total_w = offsets[n_gb];
+  int n_threads = std::max(1u, std::thread::hardware_concurrency());
+  auto work = [&](int64_t c0, int64_t c1) {
+    for (int64_t c = c0; c < c1; ++c) {
+      int32_t* ir = li + c * total_w;
+      float* vr = lv + c * total_w;
+      for (int64_t i = 0; i < total_w; ++i) { ir[i] = -1; vr[i] = 0.0f; }
+      if (c >= cols) continue;
+      int64_t gb = -1, w = 0;
+      for (int64_t i = indptr[c]; i < indptr[c + 1]; ++i) {
+        int64_t g = indices[i];
+        int64_t b = g / gene_block;
+        if (b != gb) { gb = b; w = offsets[b]; }
+        if (w < offsets[gb + 1]) {
+          ir[w] = (int32_t)(g - gb * gene_block);
+          vr[w] = data[i];
+          ++w;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  int64_t step = (cols_pad + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t c0 = t * step, c1 = std::min(cols_pad, c0 + step);
+    if (c0 < c1) ts.emplace_back(work, c0, c1);
+  }
+  for (auto& t : ts) t.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // LogNormalize in place on CSC data: v <- log1p(v / colsum * scale)
 // ---------------------------------------------------------------------------
 int singlet_log_normalize(int64_t cols, const int64_t* indptr, float* data,

@@ -132,29 +132,10 @@ def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
 
 def _pack_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
                offsets: Tuple[int, ...]):
-    """CSC -> blocked-ELL planes (vectorized host pack; O(nnz))."""
-    A = A.tocsc()
-    A.sort_indices()
-    cols = A.shape[1]
-    total_w = offsets[-1]
-    li = np.full((cols_pad, total_w), -1, np.int32)
-    lv = np.zeros((cols_pad, total_w), np.float32)
-    if A.nnz:
-        nnz_col = np.diff(A.indptr)
-        gb_of = A.indices.astype(np.int64) // gene_block
-        col_of = np.repeat(np.arange(cols, dtype=np.int64), nnz_col)
-        pos = np.arange(A.nnz, dtype=np.int64) - np.repeat(
-            A.indptr[:-1].astype(np.int64), nnz_col)
-        # rank within the (col, gb) run: runs are contiguous because CSC
-        # column indices are sorted
-        new_run = np.ones(A.nnz, bool)
-        new_run[1:] = (col_of[1:] != col_of[:-1]) | (gb_of[1:] != gb_of[:-1])
-        run_id = np.cumsum(new_run) - 1
-        rank = pos - pos[new_run][run_id]
-        dest = np.asarray(offsets, np.int64)[gb_of] + rank
-        li[col_of, dest] = (A.indices - gb_of * gene_block).astype(np.int32)
-        lv[col_of, dest] = A.data.astype(np.float32)
-    return li, lv
+    """CSC -> blocked-ELL planes (native parallel packer; numpy fallback)."""
+    from singlet_tpu import native
+
+    return native.csc_to_bell(A, cols_pad, gene_block, offsets)
 
 
 def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
