@@ -140,19 +140,18 @@ def csc_to_ell(A: sp.csc_matrix, cols_pad: int, max_nnz: int,
 
 
 def csc_to_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
-                offsets) -> Tuple[np.ndarray, np.ndarray]:
-    """CSC -> blocked-ELL planes (the sharded engine's device layout):
-    local gene indices (pad -1) / values (pad 0) at static per-gene-block
-    column offsets. Native parallel packer; fallback: vectorized numpy."""
+                n_gb: int, width: int) -> Tuple[np.ndarray, np.ndarray]:
+    """CSC -> gb-major blocked-ELL planes (the sharded engine's device
+    layout, shape (n_gb, cols_pad, width)): local gene indices (pad -1) /
+    values (pad 0) at one uniform width. Native parallel packer; fallback:
+    vectorized numpy."""
     A = sp.csc_matrix(A)
     A.sort_indices()
     cols = A.shape[1]
-    off = np.asarray(offsets, np.int64)
-    total_w = int(off[-1])
     lib = _load()
     if lib is None:
-        li = np.full((cols_pad, total_w), -1, np.int32)
-        lv = np.zeros((cols_pad, total_w), np.float32)
+        li = np.full((n_gb, cols_pad, width), -1, np.int32)
+        lv = np.zeros((n_gb, cols_pad, width), np.float32)
         if A.nnz:
             nnz_col = np.diff(A.indptr)
             gb_of = A.indices.astype(np.int64) // gene_block
@@ -166,18 +165,16 @@ def csc_to_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
                 (gb_of[1:] != gb_of[:-1])
             run_id = np.cumsum(new_run) - 1
             rank = pos - pos[new_run][run_id]
-            dest = off[gb_of] + rank
-            li[col_of, dest] = (A.indices -
-                                gb_of * gene_block).astype(np.int32)
-            lv[col_of, dest] = A.data.astype(np.float32)
+            li[gb_of, col_of, rank] = (A.indices -
+                                       gb_of * gene_block).astype(np.int32)
+            lv[gb_of, col_of, rank] = A.data.astype(np.float32)
         return li, lv
     indptr = A.indptr.astype(np.int64)
     indices = A.indices.astype(np.int32)
     data = A.data.astype(np.float32)
-    li = np.empty((cols_pad, total_w), np.int32)
-    lv = np.empty((cols_pad, total_w), np.float32)
-    lib.singlet_csc_to_bell(cols, cols_pad, gene_block, len(off) - 1,
-                            _ptr(off, ctypes.c_int64),
+    li = np.empty((n_gb, cols_pad, width), np.int32)
+    lv = np.empty((n_gb, cols_pad, width), np.float32)
+    lib.singlet_csc_to_bell(cols, cols_pad, gene_block, n_gb, width,
                             _ptr(indptr, ctypes.c_int64),
                             _ptr(indices, ctypes.c_int32),
                             _ptr(data, ctypes.c_float),

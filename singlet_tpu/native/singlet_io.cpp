@@ -260,25 +260,28 @@ int singlet_csc_to_ell(int64_t cols, int64_t cols_pad, int64_t max_nnz,
 // The device layout of parallel/sharded_ell.py. Parallel over column ranges.
 // ---------------------------------------------------------------------------
 int singlet_csc_to_bell(int64_t cols, int64_t cols_pad, int64_t gene_block,
-                        int64_t n_gb, const int64_t* offsets,
-                        const int64_t* indptr, const int32_t* indices,
-                        const float* data, int32_t* li, float* lv) {
-  const int64_t total_w = offsets[n_gb];
+                        int64_t n_gb, int64_t width, const int64_t* indptr,
+                        const int32_t* indices, const float* data,
+                        int32_t* li, float* lv) {
+  // planes are gb-major: li[gb][c][w], shape (n_gb, cols_pad, width)
+  const int64_t plane = cols_pad * width;
   int n_threads = std::max(1u, std::thread::hardware_concurrency());
   auto work = [&](int64_t c0, int64_t c1) {
     for (int64_t c = c0; c < c1; ++c) {
-      int32_t* ir = li + c * total_w;
-      float* vr = lv + c * total_w;
-      for (int64_t i = 0; i < total_w; ++i) { ir[i] = -1; vr[i] = 0.0f; }
+      for (int64_t b = 0; b < n_gb; ++b) {
+        int32_t* ir = li + b * plane + c * width;
+        float* vr = lv + b * plane + c * width;
+        for (int64_t i = 0; i < width; ++i) { ir[i] = -1; vr[i] = 0.0f; }
+      }
       if (c >= cols) continue;
       int64_t gb = -1, w = 0;
       for (int64_t i = indptr[c]; i < indptr[c + 1]; ++i) {
         int64_t g = indices[i];
         int64_t b = g / gene_block;
-        if (b != gb) { gb = b; w = offsets[b]; }
-        if (w < offsets[gb + 1]) {
-          ir[w] = (int32_t)(g - gb * gene_block);
-          vr[w] = data[i];
+        if (b != gb) { gb = b; w = 0; }
+        if (w < width) {
+          li[b * plane + c * width + w] = (int32_t)(g - b * gene_block);
+          lv[b * plane + c * width + w] = data[i];
           ++w;
         }
       }

@@ -85,16 +85,19 @@ class ShardedEllData:
     A-planes (``B_w += tile_b^T @ H_b``), so the transpose never exists:
     half the HBM, and multi-host ingest needs no distributed transpose.
 
-    Plane rows are cells. Columns are partitioned per gene block: the slice
-    ``[:, b_offsets[gb]:b_offsets[gb+1]]`` holds that cell's nonzeros whose
-    gene lies in ``[gb*gene_block, (gb+1)*gene_block)``, as LOCAL indices
-    ``gene - gb*gene_block`` (pad -1) and values (pad 0). Per-block widths
-    are the max over all cells (agreed across hosts), rounded to 8.
+    Planes are gene-block-major: ``b_li[gb, c]`` holds cell c's nonzeros
+    whose gene lies in ``[gb*gene_block, (gb+1)*gene_block)``, as LOCAL
+    indices ``gene - gb*gene_block`` (pad -1) and values (pad 0), at one
+    UNIFORM width (the max per-(cell, block) count over all cells and
+    blocks, agreed across hosts, rounded to 8). gb-major order lets both
+    SpMM directions stream the planes exactly once per pass
+    (ops/pallas_bell.py), and the uniform width gives every Pallas grid
+    step a static block shape.
     """
 
-    b_li: jnp.ndarray           # (cells_pad, total_w) i32 local gene ids, P(AXIS, None)
-    b_val: jnp.ndarray          # (cells_pad, total_w) f32, P(AXIS, None)
-    b_offsets: Tuple[int, ...]  # (n_gene_blocks + 1,) static host ints
+    b_li: jnp.ndarray           # (n_gb, cells_pad, width) i32 local gene ids, P(None, AXIS, None)
+    b_val: jnp.ndarray          # (n_gb, cells_pad, width) f32
+    b_width: int                # static uniform plane width
     nonempty: jnp.ndarray       # (cells_pad,) bool, P(AXIS)
     gene_nonempty: jnp.ndarray  # (genes_pad,) bool, replicated
     mesh: Mesh
@@ -119,23 +122,19 @@ def bell_widths(A: sp.csc_matrix, n_gb: int, gene_block: int) -> np.ndarray:
     return counts.max(axis=0)
 
 
-def widths_to_offsets(widths: np.ndarray) -> Tuple[int, ...]:
-    """Round per-block widths to sublane multiples (min 8) and prefix-sum
-    into static plane column offsets."""
-    w = np.maximum(_round_up_arr(np.asarray(widths, np.int64), 8), 8)
-    return tuple(int(x) for x in np.concatenate([[0], np.cumsum(w)]))
-
-
-def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
-    return ((x + m - 1) // m) * m
+def bell_width(widths: np.ndarray) -> int:
+    """Uniform plane width: the max per-(cell, gene-block) count, rounded
+    to a sublane multiple (min 8)."""
+    m = int(np.asarray(widths).max()) if np.asarray(widths).size else 0
+    return max(_round_up(m, 8), 8)
 
 
 def _pack_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
-               offsets: Tuple[int, ...]):
-    """CSC -> blocked-ELL planes (native parallel packer; numpy fallback)."""
+               n_gb: int, width: int):
+    """CSC -> gb-major blocked-ELL planes (native packer; numpy fallback)."""
     from singlet_tpu import native
 
-    return native.csc_to_bell(A, cols_pad, gene_block, offsets)
+    return native.csc_to_bell(A, cols_pad, gene_block, n_gb, width)
 
 
 def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
@@ -162,8 +161,8 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
         genes, cells, mesh, cell_block, gene_block)
     n_gb = genes_pad // gene_block
 
-    offsets = widths_to_offsets(bell_widths(A, n_gb, gene_block))
-    b_li, b_val = _pack_bell(A, cells_pad, gene_block, offsets)
+    width = bell_width(bell_widths(A, n_gb, gene_block))
+    b_li, b_val = _pack_bell(A, cells_pad, gene_block, n_gb, width)
 
     nnz_a = np.diff(A.indptr)
     ne = np.zeros(cells_pad, bool)
@@ -173,9 +172,9 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
 
     sh = lambda spec: NamedSharding(mesh, spec)
     return ShardedEllData(
-        b_li=jax.device_put(b_li, sh(P(AXIS, None))),
-        b_val=jax.device_put(b_val, sh(P(AXIS, None))),
-        b_offsets=offsets,
+        b_li=jax.device_put(b_li, sh(P(None, AXIS, None))),
+        b_val=jax.device_put(b_val, sh(P(None, AXIS, None))),
+        b_width=width,
         nonempty=jax.device_put(ne, sh(P(AXIS))),
         gene_nonempty=jax.device_put(gne, sh(P())),
         mesh=mesh, genes_true=genes, cells_true=cells,
@@ -231,29 +230,30 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
 
     nnz_a = np.diff(local_cols.indptr)
     n_gb = genes_pad // gene_block
-    # agree the per-gene-block plane widths across hosts (one allgather of
-    # n_gb small ints), so every process packs the identical global layout
-    widths = _allgather_max(tuple(
-        int(x) for x in bell_widths(local_cols, n_gb, gene_block)))
-    offsets = widths_to_offsets(np.asarray(widths))
-    total_w = offsets[-1]
+    # agree the uniform plane width across hosts (one allgather), so every
+    # process packs the identical global layout
+    (wmax,) = _allgather_max(
+        (int(bell_widths(local_cols, n_gb, gene_block).max(initial=0)),))
+    width = bell_width(np.asarray([wmax]))
 
-    width = per_proc * cells_local
-    b_li, b_val = _pack_bell(local_cols, width, gene_block, offsets)
+    local_cells = per_proc * cells_local
+    b_li, b_val = _pack_bell(local_cols, local_cells, gene_block, n_gb,
+                             width)
 
-    ne_loc = np.zeros(width, bool)
+    ne_loc = np.zeros(local_cells, bool)
     ne_loc[: nnz_a.size] = nnz_a > 0
 
     sh = lambda spec: NamedSharding(mesh, spec)
     mk = jax.make_array_from_process_local_data
-    a_idx_g = mk(sh(P(AXIS, None)), b_li,
-                 global_shape=(cells_pad, total_w))
-    a_val_g = mk(sh(P(AXIS, None)), b_val,
-                 global_shape=(cells_pad, total_w))
+    a_idx_g = mk(sh(P(None, AXIS, None)), b_li,
+                 global_shape=(n_gb, cells_pad, width))
+    a_val_g = mk(sh(P(None, AXIS, None)), b_val,
+                 global_shape=(n_gb, cells_pad, width))
     ne_g = mk(sh(P(AXIS)), ne_loc, global_shape=(cells_pad,))
     # validate the contiguity assumption: this process's addressable A-plane
-    # shards must cover exactly [start, stop)
-    owned = sorted((s.index[0].start or 0) for s in a_idx_g.addressable_shards)
+    # shards must cover exactly [start, stop) on the cell axis
+    owned = sorted({s.index[1].start or 0
+                    for s in a_idx_g.addressable_shards})
     expect_starts = list(range(start, stop, cells_local))
     if owned != expect_starts:
         raise RuntimeError(
@@ -273,7 +273,7 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
                   out_shardings=sh(P()))(gne_sharded)
 
     return ShardedEllData(
-        b_li=a_idx_g, b_val=a_val_g, b_offsets=offsets,
+        b_li=a_idx_g, b_val=a_val_g, b_width=width,
         nonempty=ne_g, gene_nonempty=gne,
         mesh=mesh, genes_true=genes, cells_true=cells_true,
         genes_pad=genes_pad, cells_pad=cells_pad,
@@ -354,7 +354,7 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
     single-chip engine, solvers/als.py:als_step_masked)."""
     fns = _build_local_fns(data, inv_density)
     mesh = data.mesh
-    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
+    specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
     plain_step = jax.jit(jax.shard_map(
         fns["plain"], mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None), P(), P(), P(), P()),
@@ -368,8 +368,8 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
         check_vma=False))
     mse_fn = jax.jit(jax.shard_map(
         fns["mse"], mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(None, None), P(None),
-                  P(AXIS, None), P(None)),
+        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(None, None),
+                  P(None), P(AXIS, None), P(None)),
         out_specs=P(),
         check_vma=False))
     return plain_step, masked_step, mse_fn
@@ -386,19 +386,22 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
     genes_pad, cells_true, genes_true = (data.genes_pad, data.cells_true,
                                          data.genes_true)
     n_gb = genes_pad // gene_block
-    off = data.b_offsets
 
     def _local_cell_ids(dev):
         return dev * cells_local + jnp.arange(cells_local)
 
     def _gb_tiles(li, lv):
-        """Per-gene-block dense tiles of one cell block (static slices)."""
+        """Per-gene-block dense tiles of one cell block (static gb slices;
+        li/lv: (n_gb, cell_block, width))."""
         for gb in range(n_gb):
-            yield gb, _bell_tile(li[:, off[gb]:off[gb + 1]],
-                                 lv[:, off[gb]:off[gb + 1]], gene_block)
+            yield gb, _bell_tile(li[gb], lv[gb], gene_block)
 
     def _slice2(arr, start, size):
         return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
+
+    def _slice_planes(arr, start, size):
+        """Cell-axis slice of (n_gb, cells_local, width) planes."""
+        return jax.lax.dynamic_slice_in_dim(arr, start, size, 1)
 
     def _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
                         packed_w=None, k=None, iu=None):
@@ -435,8 +438,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
 
         def h_blk(_, bi):
             start = bi * cell_block
-            li = _slice2(b_li, start, cell_block)
-            lv = _slice2(b_val, start, cell_block)
+            li = _slice_planes(b_li, start, cell_block)
+            lv = _slice_planes(b_val, start, cell_block)
             B = jnp.zeros((cell_block, k), W.dtype)
             for gb, tile in _gb_tiles(li, lv):
                 Wb = W[gb * gene_block:(gb + 1) * gene_block]
@@ -461,8 +464,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         # pass 2: accumulate w-update RHS over cell blocks
         def acc_blk(Bw, bi):
             start = bi * cell_block
-            li = _slice2(b_li, start, cell_block)
-            lv = _slice2(b_val, start, cell_block)
+            li = _slice_planes(b_li, start, cell_block)
+            lv = _slice_planes(b_val, start, cell_block)
             Hb = _slice2(H_new, start, cell_block)
             parts = [jnp.dot(tile.T, Hb, precision=MM_PRECISION)
                      for _, tile in _gb_tiles(li, lv)]
@@ -500,8 +503,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                cell_block)
             m = _mask_of(ids)
-            li = _slice2(b_li, start, cell_block)
-            lv = _slice2(b_val, start, cell_block)
+            li = _slice_planes(b_li, start, cell_block)
+            lv = _slice_planes(b_val, start, cell_block)
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
             B = jnp.zeros((cell_block, k), W.dtype)
             for gb, tile in _gb_tiles(li, lv):
@@ -536,8 +539,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                cell_block)
             m = _mask_of(ids)
-            li = _slice2(b_li, start, cell_block)
-            lv = _slice2(b_val, start, cell_block)
+            li = _slice_planes(b_li, start, cell_block)
+            lv = _slice_planes(b_val, start, cell_block)
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
             Hb = _slice2(H_new, start, cell_block)
             parts = [jnp.dot((tile * keep[:, gb * gene_block:
@@ -577,8 +580,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             m = mask_block(seed, ids, gene_ids, inv_density)
             m = m & (ids < cells_true)[:, None] & \
                 (gene_ids < genes_true)[None, :]
-            li = _slice2(b_li, start, cell_block)
-            lv = _slice2(b_val, start, cell_block)
+            li = _slice_planes(b_li, start, cell_block)
+            lv = _slice_planes(b_val, start, cell_block)
             Hb = _slice2(H_loc, start, cell_block)
             s = jnp.zeros((cell_block,), W.dtype)
             for gb, tile in _gb_tiles(li, lv):
@@ -633,7 +636,7 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
         it, W, H, d, _, tols = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, tols
 
-    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
+    specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
     extra_specs = ((P(None), P(), P(), P(), P(), P(), P(), P()) if masked
                    else (P(), P(), P(), P(), P(), P()))
     return jax.jit(jax.shard_map(
@@ -702,7 +705,7 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
          tols) = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
 
-    specs_a = (P(AXIS, None), P(AXIS, None), P(AXIS), P(None))
+    specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None), P(None),

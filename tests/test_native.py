@@ -140,23 +140,20 @@ def test_csc_to_bell_native_matches_fallback(lib_ok, rng):
     """Native blocked-ELL packer == the vectorized numpy fallback, and both
     reconstruct the dense matrix."""
     import singlet_tpu.native as native
-    from singlet_tpu.parallel.sharded_ell import (
-        bell_widths,
-        widths_to_offsets,
-    )
+    from singlet_tpu.parallel.sharded_ell import bell_width, bell_widths
 
     A = sp.random(48, 30, density=0.25, random_state=5, format="csc",
                   dtype=np.float32)
     A.data = np.abs(A.data) + 0.1
     gene_block, n_gb = 16, 3
-    offsets = widths_to_offsets(bell_widths(A, n_gb, gene_block))
+    width = bell_width(bell_widths(A, n_gb, gene_block))
 
-    li_n, lv_n = native.csc_to_bell(A, 32, gene_block, offsets)
+    li_n, lv_n = native.csc_to_bell(A, 32, gene_block, n_gb, width)
 
     orig_load = native._load
     native._load = lambda: None          # force the numpy fallback
     try:
-        li_f, lv_f = native.csc_to_bell(A, 32, gene_block, offsets)
+        li_f, lv_f = native.csc_to_bell(A, 32, gene_block, n_gb, width)
     finally:
         native._load = orig_load
     np.testing.assert_array_equal(li_n, li_f)
@@ -165,8 +162,7 @@ def test_csc_to_bell_native_matches_fallback(lib_ok, rng):
     # reconstruction
     D = np.zeros((32, 48), np.float32)
     for gb in range(n_gb):
-        sl = slice(offsets[gb], offsets[gb + 1])
         for c in range(30):
-            live = li_n[c, sl] >= 0
-            D[c, gb * gene_block + li_n[c, sl][live]] = lv_n[c, sl][live]
+            live = li_n[gb, c] >= 0
+            D[c, gb * gene_block + li_n[gb, c][live]] = lv_n[gb, c][live]
     np.testing.assert_allclose(D[:30].T, A.toarray(), rtol=1e-6)

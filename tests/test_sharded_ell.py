@@ -172,17 +172,16 @@ def test_largescale_synth_planes_regular(rng):
     assert (0 <= a_idx).all() and (a_idx < genes).all()
     assert (a_val > 0).all()
 
-    b_li, b_val, offsets = synth_bell_planes(genes, cells, p,
-                                             gene_block=gb, xp=np)
-    assert offsets[-1] == b_li.shape[1]
+    b_li, b_val, width = synth_bell_planes(genes, cells, p,
+                                           gene_block=gb, xp=np)
     n_gb = genes // gb
+    assert b_li.shape == (n_gb, cells, width)
     for c in range(0, cells, 17):
         row = set()
         for g in range(n_gb):
-            sl = slice(offsets[g], offsets[g + 1])
-            live = b_li[c, sl] >= 0
+            live = b_li[g, c] >= 0
             row |= {(g * gb + int(i), float(v)) for i, v in
-                    zip(b_li[c, sl][live], b_val[c, sl][live])}
+                    zip(b_li[g, c][live], b_val[g, c][live])}
         ref = {(int(i), float(v)) for i, v in zip(a_idx[c], a_val[c])}
         assert row == ref
 
@@ -263,15 +262,15 @@ def test_staged_dir_ingest_equals_full_ingest(rng, mesh8, tmp_path):
 
 
 def test_bell_pack_roundtrip(rng):
-    """bell_widths / widths_to_offsets / _pack_bell reconstruct the exact
-    dense matrix through _bell_tile (unit test of the blocked layout)."""
+    """bell_widths / bell_width / _pack_bell reconstruct the exact dense
+    matrix through _bell_tile (unit test of the gb-major blocked layout)."""
     import jax.numpy as jnp
 
     from singlet_tpu.parallel.sharded_ell import (
         _bell_tile,
         _pack_bell,
+        bell_width,
         bell_widths,
-        widths_to_offsets,
     )
 
     genes, cells, gene_block = 72, 37, 24   # genes_pad = 72, 3 gene blocks
@@ -287,17 +286,16 @@ def test_bell_pack_roundtrip(rng):
         blk = D[gb * gene_block:(gb + 1) * gene_block]
         assert widths[gb] == (blk != 0).sum(axis=0).max()
 
-    offsets = widths_to_offsets(widths)
-    assert all(o % 8 == 0 for o in offsets)
+    width = bell_width(widths)
+    assert width % 8 == 0 and width >= widths.max()
     cols_pad = 40
-    li, lv = _pack_bell(A, cols_pad, gene_block, offsets)
-    assert li.shape == (cols_pad, offsets[-1])
+    li, lv = _pack_bell(A, cols_pad, gene_block, n_gb, width)
+    assert li.shape == (n_gb, cols_pad, width)
     # structural pads carry li == -1 and value 0
     assert (lv[li == -1] == 0).all()
 
     dense = np.concatenate(
-        [np.asarray(_bell_tile(jnp.asarray(li[:, offsets[gb]:offsets[gb+1]]),
-                               jnp.asarray(lv[:, offsets[gb]:offsets[gb+1]]),
+        [np.asarray(_bell_tile(jnp.asarray(li[gb]), jnp.asarray(lv[gb]),
                                gene_block))
          for gb in range(n_gb)], axis=1)     # (cols_pad, genes)
     np.testing.assert_allclose(dense[:cells].T, D, rtol=1e-6)
@@ -307,20 +305,20 @@ def test_bell_pack_roundtrip(rng):
 def test_bell_pack_empty_and_single_column():
     from singlet_tpu.parallel.sharded_ell import (
         _pack_bell,
+        bell_width,
         bell_widths,
-        widths_to_offsets,
     )
 
     empty = sp.csc_matrix((16, 0), dtype=np.float32)
     w = bell_widths(empty, 2, 8)
     assert (w == 0).all()
-    off = widths_to_offsets(w)
-    assert off == (0, 8, 16)                 # min width 8 per block
-    li, lv = _pack_bell(empty, 4, 8, off)
+    assert bell_width(w) == 8                # min width 8
+    li, lv = _pack_bell(empty, 4, 8, 2, bell_width(w))
+    assert li.shape == (2, 4, 8)
     assert (li == -1).all() and (lv == 0).all()
 
     one = sp.csc_matrix(np.array([[0.], [2.5], [0.], [1.0]], np.float32))
-    off1 = widths_to_offsets(bell_widths(one, 1, 4))
-    li1, lv1 = _pack_bell(one, 8, 4, off1)
-    assert sorted(li1[0][li1[0] >= 0].tolist()) == [1, 3]
-    assert sorted(lv1[0][lv1[0] > 0].tolist()) == [1.0, 2.5]
+    w1 = bell_width(bell_widths(one, 1, 4))
+    li1, lv1 = _pack_bell(one, 8, 4, 1, w1)
+    assert sorted(li1[0, 0][li1[0, 0] >= 0].tolist()) == [1, 3]
+    assert sorted(lv1[0, 0][lv1[0, 0] > 0].tolist()) == [1.0, 2.5]
