@@ -26,17 +26,34 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None:
         return _LIB
     so = _HERE / "libsinglet_io.so"
-    if not so.exists():
+    src = _HERE / "singlet_io.cpp"
+    # rebuild when absent OR stale (a .so built before the current source
+    # would load fine but lack newer symbols / fixes)
+    stale = (not so.exists()
+             or (src.exists() and src.stat().st_mtime > so.stat().st_mtime))
+    if stale:
         try:
-            subprocess.run(["make", "-C", str(_HERE), "libsinglet_io.so"],
+            subprocess.run(["make", "-C", str(_HERE), "-B",
+                            "libsinglet_io.so"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not so.exists():
+                return None
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
     lib.singlet_last_error.restype = ctypes.c_char_p
     _LIB = lib
+    return lib
+
+
+def _load_with(symbol: str) -> Optional[ctypes.CDLL]:
+    """The library, but only if it exports ``symbol`` — a belt-and-braces
+    guard against loading a stale binary (e.g. one built from an older
+    source while this process was already running)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, symbol):
+        return None
     return lib
 
 
@@ -144,11 +161,16 @@ def csc_to_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
     """CSC -> gb-major blocked-ELL planes (the sharded engine's device
     layout, shape (n_gb, cols_pad, width)): local gene indices (pad -1) /
     values (pad 0) at one uniform width. Native parallel packer; fallback:
-    vectorized numpy."""
+    vectorized numpy. Both paths fail loudly (ValueError) if ``width``
+    under-counts any (column, gene-block) run — silent truncation would
+    corrupt the operand. The input matrix is never mutated (sorting, when
+    needed, happens on a copy)."""
     A = sp.csc_matrix(A)
-    A.sort_indices()
+    if not A.has_sorted_indices:
+        A = A.copy()
+        A.sort_indices()
     cols = A.shape[1]
-    lib = _load()
+    lib = _load_with("singlet_csc_to_bell")
     if lib is None:
         li = np.full((n_gb, cols_pad, width), -1, np.int32)
         lv = np.zeros((n_gb, cols_pad, width), np.float32)
@@ -165,6 +187,12 @@ def csc_to_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
                 (gb_of[1:] != gb_of[:-1])
             run_id = np.cumsum(new_run) - 1
             rank = pos - pos[new_run][run_id]
+            over = int(np.sum(rank >= width))
+            if over:
+                raise ValueError(
+                    f"csc_to_bell: plane width {width} under-counts a "
+                    f"(column, gene-block) run; {over} nonzeros would be "
+                    "dropped")
             li[gb_of, col_of, rank] = (A.indices -
                                        gb_of * gene_block).astype(np.int32)
             lv[gb_of, col_of, rank] = A.data.astype(np.float32)
@@ -174,12 +202,14 @@ def csc_to_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
     data = A.data.astype(np.float32)
     li = np.empty((n_gb, cols_pad, width), np.int32)
     lv = np.empty((n_gb, cols_pad, width), np.float32)
-    lib.singlet_csc_to_bell(cols, cols_pad, gene_block, n_gb, width,
-                            _ptr(indptr, ctypes.c_int64),
-                            _ptr(indices, ctypes.c_int32),
-                            _ptr(data, ctypes.c_float),
-                            _ptr(li, ctypes.c_int32),
-                            _ptr(lv, ctypes.c_float))
+    rc = lib.singlet_csc_to_bell(cols, cols_pad, gene_block, n_gb, width,
+                                 _ptr(indptr, ctypes.c_int64),
+                                 _ptr(indices, ctypes.c_int32),
+                                 _ptr(data, ctypes.c_float),
+                                 _ptr(li, ctypes.c_int32),
+                                 _ptr(lv, ctypes.c_float))
+    if rc != 0:
+        raise ValueError(lib.singlet_last_error().decode())
     return li, lv
 
 
@@ -210,7 +240,8 @@ def svc_write(path: str, A: sp.csc_matrix,
     reference:inst/include/src/VCSC/VCSC_SparseMatrix.hpp:20-30): each
     distinct value stored once per column — smaller for highly redundant
     values (raw counts, log-normalized counts)."""
-    lib = _load()
+    lib = _load_with("singlet_svc_write_v2" if value_compress
+                     else "singlet_svc_write")
     A = sp.csc_matrix(A)
     if lib is None:
         np.savez_compressed(path, indptr=A.indptr, indices=A.indices,

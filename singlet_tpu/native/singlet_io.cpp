@@ -263,10 +263,15 @@ int singlet_csc_to_bell(int64_t cols, int64_t cols_pad, int64_t gene_block,
                         int64_t n_gb, int64_t width, const int64_t* indptr,
                         const int32_t* indices, const float* data,
                         int32_t* li, float* lv) {
-  // planes are gb-major: li[gb][c][w], shape (n_gb, cols_pad, width)
+  // planes are gb-major: li[gb][c][w], shape (n_gb, cols_pad, width).
+  // Returns the number of nonzeros DROPPED because a (column, gene-block)
+  // run exceeded `width` — 0 on success. Callers must treat nonzero as an
+  // error (an under-counted width would silently corrupt the operand).
   const int64_t plane = cols_pad * width;
   int n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int64_t> dropped{0};
   auto work = [&](int64_t c0, int64_t c1) {
+    int64_t local_dropped = 0;
     for (int64_t c = c0; c < c1; ++c) {
       for (int64_t b = 0; b < n_gb; ++b) {
         int32_t* ir = li + b * plane + c * width;
@@ -283,9 +288,12 @@ int singlet_csc_to_bell(int64_t cols, int64_t cols_pad, int64_t gene_block,
           li[b * plane + c * width + w] = (int32_t)(g - b * gene_block);
           lv[b * plane + c * width + w] = data[i];
           ++w;
+        } else {
+          ++local_dropped;
         }
       }
     }
+    dropped += local_dropped;
   };
   std::vector<std::thread> ts;
   int64_t step = (cols_pad + n_threads - 1) / n_threads;
@@ -294,6 +302,11 @@ int singlet_csc_to_bell(int64_t cols, int64_t cols_pad, int64_t gene_block,
     if (c0 < c1) ts.emplace_back(work, c0, c1);
   }
   for (auto& t : ts) t.join();
+  if (dropped.load() > 0) {
+    g_err = "csc_to_bell: plane width under-counts a (column, gene-block) "
+            "run; " + std::to_string(dropped.load()) + " nonzeros dropped";
+    return (int)std::min<int64_t>(dropped.load(), INT32_MAX);
+  }
   return 0;
 }
 

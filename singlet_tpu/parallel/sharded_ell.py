@@ -129,6 +129,31 @@ def bell_width(widths: np.ndarray) -> int:
     return max(_round_up(m, 8), 8)
 
 
+def _log_bell_ingest(width: int, nnz: int, cells: int, n_gb: int,
+                     cells_pad: int) -> None:
+    """Ingest observability: the uniform plane width is a global max, so a
+    single anomalously dense cell inflates EVERY plane (HBM scales with
+    width * n_gb * cells_pad). Log the chosen width vs the mean per-(cell,
+    gene-block) count and warn on severe inflation so users can spot
+    outlier cells before a fit OOMs."""
+    from singlet_tpu.tracing import get_metric_logger
+
+    mean = nnz / max(cells * n_gb, 1)
+    hbm_gib = 2 * n_gb * cells_pad * width * 4 / 2 ** 30
+    get_metric_logger().log(
+        "bell_ingest", width=width, mean_nnz_per_block=round(mean, 2),
+        n_gene_blocks=n_gb, planes_gib=round(hbm_gib, 3))
+    if width > 16 and width > 8 * max(mean, 1.0):
+        import warnings
+
+        warnings.warn(
+            f"blocked-ELL plane width {width} is {width / max(mean, 1e-9):.0f}x "
+            f"the mean per-(cell, gene-block) nonzero count ({mean:.1f}): a few "
+            f"anomalously dense cells are inflating the operand to "
+            f"{hbm_gib:.2f} GiB. Consider filtering outlier cells or raising "
+            f"gene_block.")
+
+
 def _pack_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
                n_gb: int, width: int):
     """CSC -> gb-major blocked-ELL planes (native packer; numpy fallback)."""
@@ -162,6 +187,7 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
     n_gb = genes_pad // gene_block
 
     width = bell_width(bell_widths(A, n_gb, gene_block))
+    _log_bell_ingest(width, A.nnz, cells, n_gb, cells_pad)
     b_li, b_val = _pack_bell(A, cells_pad, gene_block, n_gb, width)
 
     nnz_a = np.diff(A.indptr)
@@ -235,6 +261,8 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
     (wmax,) = _allgather_max(
         (int(bell_widths(local_cols, n_gb, gene_block).max(initial=0)),))
     width = bell_width(np.asarray([wmax]))
+    _log_bell_ingest(width, local_cols.nnz, local_cols.shape[1], n_gb,
+                     cells_pad)
 
     local_cells = per_proc * cells_local
     b_li, b_val = _pack_bell(local_cols, local_cells, gene_block, n_gb,

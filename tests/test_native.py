@@ -166,3 +166,35 @@ def test_csc_to_bell_native_matches_fallback(lib_ok, rng):
             live = li_n[gb, c] >= 0
             D[c, gb * gene_block + li_n[gb, c][live]] = lv_n[gb, c][live]
     np.testing.assert_allclose(D[:30].T, A.toarray(), rtol=1e-6)
+
+
+def test_csc_to_bell_underwidth_fails_loudly(lib_ok):
+    """An under-counted plane width must raise (both native and fallback) —
+    silent truncation would corrupt the operand."""
+    import singlet_tpu.native as native
+
+    A = sp.csc_matrix(np.ones((16, 4), np.float32))   # 16 nnz per (col, gb)
+    for force_fallback in (False, True):
+        orig_load = native._load
+        if force_fallback:
+            native._load = lambda: None
+        try:
+            with pytest.raises(ValueError, match="width"):
+                native.csc_to_bell(A, 8, 16, 1, 8)    # width 8 < 16 needed
+        finally:
+            native._load = orig_load
+
+
+def test_csc_to_bell_does_not_mutate_input(lib_ok):
+    """Packing must not reorder the caller's CSC indices in place."""
+    import singlet_tpu.native as native
+
+    # build a CSC with deliberately unsorted indices inside a column
+    data = np.array([1.0, 2.0, 3.0], np.float32)
+    indices = np.array([5, 2, 9], np.int32)
+    indptr = np.array([0, 3, 3], np.int64)
+    A = sp.csc_matrix((data, indices, indptr), shape=(16, 2))
+    A.has_sorted_indices = False
+    before = A.indices.copy()
+    native.csc_to_bell(A, 2, 16, 1, 8)
+    np.testing.assert_array_equal(A.indices, before)
