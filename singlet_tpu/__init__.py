@@ -36,6 +36,13 @@ from singlet_tpu.solvers.drivers import (
 )
 from singlet_tpu.solvers.linked import run_linked_nmf, build_link_matrix
 from singlet_tpu.solvers.project import project_model
+from singlet_tpu.solvers.gcnmf import (
+    gcnmf,
+    differentiate_model,
+    assign_cells_to_edge_clusters,
+)
+from singlet_tpu.solvers.mu import mu_nmf
+from singlet_tpu.solvers.batch import nmf_batch
 
 __version__ = "0.1.0"
 
@@ -61,5 +68,10 @@ __all__ = [
     "run_linked_nmf",
     "build_link_matrix",
     "project_model",
+    "gcnmf",
+    "mu_nmf",
+    "nmf_batch",
+    "differentiate_model",
+    "assign_cells_to_edge_clusters",
     "__version__",
 ]

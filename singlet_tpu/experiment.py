@@ -13,17 +13,22 @@ reference's argument names and dispatch rules.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import scipy.sparse as sp
 
+from singlet_tpu.config import NMFConfig
 from singlet_tpu.data import CellDataset
 from singlet_tpu.model import NMFModel
 from singlet_tpu.preprocess import log_normalize, looks_like_counts, weight_by_split
 from singlet_tpu.solvers import drivers
 from singlet_tpu.solvers.linked import build_link_matrix, run_linked_nmf
 from singlet_tpu.solvers.project import project_model
+
+# distinguishes "k not passed" (config supplies it) from an explicit k=None
+# (automatic rank determination)
+_UNSET = object()
 
 
 @dataclass
@@ -107,19 +112,37 @@ class Experiment:
         return cls.from_dataset(read_h5ad(path))
 
     # --------------------------------------------------------------- NMF
-    def run_nmf(self, k=None, split_by: Optional[str] = None, reps: int = 3,
-                tol: float = 1e-5, L1: float = 0.01, L2: float = 0.0,
-                verbose: Union[int, bool] = 1, reduction_name: str = "nmf",
-                reduction_key: str = "NMF_", maxit: int = 100,
-                test_set_density: float = 0.05, learning_rate: float = 0.8,
-                tol_overfit: float = 1e-4, trace_test_mse: int = 5,
-                features: Optional[Sequence] = None, seed: int = 0,
-                mesh=None,
-                ) -> "Experiment":
+    def run_nmf(self, k=_UNSET, split_by: Optional[str] = None,
+                features: Optional[Sequence] = None,
+                reduction_name: str = "nmf", reduction_key: str = "NMF_",
+                mesh=None, config: Optional[NMFConfig] = None,
+                **overrides) -> "Experiment":
         """RunNMF dispatch (reference:R/RunNMF.R:101-151): k=None -> automatic
         rank determination; k a sequence -> cross-validation then final fit;
         scalar k -> fixed-rank fit. Stores an NMFModel reduction. ``mesh``
-        (a jax.sharding.Mesh) runs every fit on the multi-chip engine."""
+        (a jax.sharding.Mesh) runs every fit on the multi-chip engine.
+
+        Solver hyperparameters (tol, reps, L1, L2, maxit, test_set_density,
+        learning_rate, tol_overfit, trace_test_mse, verbose, seed, ...) come
+        from ``config`` (an :class:`NMFConfig`, defaults =
+        reference:R/RunNMF.R:42-60) and may be overridden per-call as
+        keyword arguments (unknown names raise)."""
+        cfg = config if config is not None else NMFConfig()
+        if k is not _UNSET:
+            cfg = cfg.replace(k=k)
+        if overrides:
+            cfg = cfg.replace(**overrides)
+        k = cfg.k
+        reps, tol, L1, L2, maxit = cfg.reps, cfg.tol, cfg.L1, cfg.L2, cfg.maxit
+        verbose, seed = cfg.verbose, cfg.seed
+        test_set_density = cfg.test_set_density
+        learning_rate, tol_overfit = cfg.learning_rate, cfg.tol_overfit
+        trace_test_mse = cfg.trace_test_mse
+        warn = cfg.validate_density()
+        if warn:
+            import warnings
+
+            warnings.warn(warn)
         A = self._assay()
         gene_names = self.gene_names
         if features is not None:
@@ -141,9 +164,10 @@ class Experiment:
         if k is not None and np.ndim(k) > 0 and len(np.atleast_1d(k)) > 1:
             cv_data = drivers.cross_validate_nmf(
                 A, ranks=list(np.atleast_1d(k)), n_replicates=reps,
-                tol=tol * 10, maxit=maxit, verbose=verbose, L1=L1, L2=L2,
-                test_density=test_set_density, tol_overfit=tol_overfit,
-                trace_test_mse=trace_test_mse, seed=seed, mesh=mesh)
+                tol=cfg.cv_tol_effective, maxit=maxit, verbose=verbose,
+                L1=L1, L2=L2, test_density=test_set_density,
+                tol_overfit=tol_overfit, trace_test_mse=trace_test_mse,
+                seed=seed, mesh=mesh)
             best = drivers.get_best_rank(cv_data, tol_overfit)
             if verbose:
                 print(f"best rank: {best}")
@@ -152,8 +176,9 @@ class Experiment:
                                     mesh=mesh)
         elif k is None:
             model = drivers.ard_nmf(
-                A, k_init=None, k_max=10000, k_min=2, n_replicates=reps,
-                tol=tol, cv_tol=tol * 10, maxit=maxit, verbose=verbose,
+                A, k_init=None, k_max=10000, k_min=cfg.k_min,
+                n_replicates=reps, tol=tol, cv_tol=cfg.cv_tol_effective,
+                maxit=maxit, verbose=verbose,
                 L1=L1, L2=L2, test_density=test_set_density,
                 learning_rate=learning_rate, tol_overfit=tol_overfit,
                 trace_test_mse=trace_test_mse, seed=seed, mesh=mesh)
@@ -189,6 +214,35 @@ class Experiment:
                                verbose=verbose, L1=L1, L2=L2,
                                gene_names=base.gene_names,
                                cell_names=self.cell_names)
+        model.reduction_key = reduction_key
+        self.reductions[reduction_name] = model
+        return self
+
+    # -------------------------------------------------------------- GCNMF
+    def run_gcnmf(self, graph, k: int, tol: float = 1e-4, maxit: int = 100,
+                  L1: float = 0.01, L2: float = 0.0, seed: int = 0,
+                  w_init=None, verbose: bool = False,
+                  reduction_name: str = "gcnmf",
+                  reduction_key: str = "GCNMF_") -> "Experiment":
+        """Graph-convolutional NMF over a (cells x cells) graph
+        (reference:R/RunGCNMF.R:77 over c_gcnmf, src/singlet.cpp:1713-1730).
+
+        ``graph`` is either the name of a graph stored by
+        :meth:`find_local_neighbors` or a (cells x cells) matrix. Note the
+        reference wrapper has a bug — it passes its Seurat object ``G``
+        where the user's ``graph`` argument was meant
+        (reference:R/RunGCNMF.R:77); this method implements the documented
+        intent."""
+        from singlet_tpu.solvers.gcnmf import gcnmf
+
+        G = self.graphs[graph] if isinstance(graph, str) else graph
+        A = self._assay()
+        if G.shape != (A.shape[1], A.shape[1]):
+            raise ValueError(
+                f"graph must be cells x cells ({A.shape[1]}), got {G.shape}")
+        model = gcnmf(A, G, int(k), tol=tol, maxit=maxit, L1=L1, L2=L2,
+                      seed=seed, w_init=w_init, verbose=verbose,
+                      gene_names=self.gene_names, cell_names=self.cell_names)
         model.reduction_key = reduction_key
         self.reductions[reduction_name] = model
         return self

@@ -270,6 +270,28 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
 
     ne_loc = np.zeros(local_cells, bool)
     ne_loc[: nnz_a.size] = nnz_a > 0
+    gene_present = np.zeros(genes, bool)
+    gene_present[np.unique(local_cols.indices)] = True
+
+    return _assemble_from_local_planes(
+        b_li, b_val, ne_loc, gene_present, genes, cells_true, mesh,
+        (genes_pad, cells_pad, cell_block, gene_block), width, start, stop)
+
+
+def _assemble_from_local_planes(b_li, b_val, ne_loc, gene_present,
+                                genes, cells_true, mesh, geometry, width,
+                                start, stop) -> ShardedEllData:
+    """Build the global ShardedEllData from this process's packed planes.
+
+    Shared tail of ``shard_ell_from_local`` / ``shard_ell_from_chunks``:
+    contributes the local planes via ``make_array_from_process_local_data``,
+    validates shard contiguity, and ORs per-process gene presence on device.
+    """
+    genes_pad, cells_pad, cell_block, gene_block = geometry
+    n_dev = mesh.devices.size
+    n_gb = genes_pad // gene_block
+    cells_local = cells_pad // n_dev
+    per_proc = n_dev // jax.process_count()
 
     sh = lambda spec: NamedSharding(mesh, spec)
     mk = jax.make_array_from_process_local_data
@@ -293,8 +315,7 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
     # global gene-nonempty: OR of per-process local gene nnz, computed on
     # device (each host only knows its own columns)
     gne_loc = np.zeros((per_proc, genes_pad), bool)
-    cnt = np.asarray((local_cols != 0).sum(axis=1)).ravel()
-    gne_loc[:, :genes] = (cnt > 0)[None, :]
+    gne_loc[:, :genes] = gene_present[None, :]
     gne_sharded = mk(sh(P(AXIS, None)), gne_loc,
                      global_shape=(n_dev, genes_pad))
     gne = jax.jit(lambda x: jnp.any(x, axis=0),
@@ -307,6 +328,78 @@ def shard_ell_from_local(local_cols: sp.spmatrix, cells_true: int,
         genes_pad=genes_pad, cells_pad=cells_pad,
         cell_block=cell_block, gene_block=gene_block,
     )
+
+
+def shard_ell_from_chunks(chunks, mesh: Mesh, cell_block: int = 2048,
+                          gene_block: int = 512) -> ShardedEllData:
+    """Stream a chunk list (scipy matrices, ``.svc``/``.mtx`` paths, or
+    loader callables) into mesh-sharded blocked-ELL planes WITHOUT ever
+    materializing the concatenated matrix on the host.
+
+    Two passes: (1) shapes + the global plane width (path/callable chunks
+    are loaded twice — the streaming trade; in-memory chunks are free),
+    (2) each chunk overlapping this process's owned cell range is sliced
+    and packed directly into its plane offset. The multi-host twin of the
+    reference's chunked sparse-list mode (reference:src/singlet.cpp:384-402)
+    without its full-matrix staging.
+    """
+    from singlet_tpu.sparse.chunked import _load_chunk
+
+    # pass 1: geometry + global width (width needs only genes, not cells)
+    genes = None
+    cols_of = []
+    wmax = 0
+    nnz_total = 0
+    for c in chunks:
+        M = _load_chunk(c)
+        if genes is None:
+            genes = M.shape[0]
+            gb = min(gene_block, _round_up(genes, 256))
+            n_gb = _round_up(genes, gb) // gb
+        elif M.shape[0] != genes:
+            raise ValueError("chunks disagree on the gene axis")
+        cols_of.append(M.shape[1])
+        nnz_total += M.nnz
+        wmax = max(wmax, int(bell_widths(M, n_gb, gb).max(initial=0)))
+        del M
+    cells_true = int(sum(cols_of))
+    genes_pad, cells_pad, cell_block, gene_block = ell_geometry(
+        genes, cells_true, mesh, cell_block, gene_block)
+    n_gb = genes_pad // gene_block
+    (wmax,) = _allgather_max((wmax,))
+    width = bell_width(np.asarray([wmax]))
+    _log_bell_ingest(width, nnz_total, cells_true, n_gb, cells_pad)
+
+    n_dev = mesh.devices.size
+    pid = jax.process_index()
+    per_proc = n_dev // jax.process_count()
+    cells_local = cells_pad // n_dev
+    start = pid * per_proc * cells_local
+    stop = (pid + 1) * per_proc * cells_local
+    local_cells = per_proc * cells_local
+
+    # pass 2: pack overlapping chunk slices straight into the local planes
+    b_li = np.full((n_gb, local_cells, width), -1, np.int32)
+    b_val = np.zeros((n_gb, local_cells, width), np.float32)
+    ne_loc = np.zeros(local_cells, bool)
+    gene_present = np.zeros(genes, bool)
+    off = 0
+    for c, w in zip(chunks, cols_of):
+        lo, hi = max(start, off), min(stop, off + w)
+        if lo < hi:
+            M = sp.csc_matrix(_load_chunk(c)[:, lo - off: hi - off])
+            li, lv = _pack_bell(M, hi - lo, gene_block, n_gb, width)
+            b_li[:, lo - start: hi - start, :] = li
+            b_val[:, lo - start: hi - start, :] = lv
+            ne_loc[lo - start: hi - start] = np.diff(M.indptr) > 0
+            gene_present[np.unique(M.indices)] = True
+            del M
+        off += w
+
+    return _assemble_from_local_planes(
+        b_li, b_val, ne_loc, gene_present, genes, cells_true, mesh,
+        (genes_pad, cells_pad, cell_block, gene_block), width, start,
+        min(stop, cells_pad))
 
 
 def shard_ell_from_staged(directory: str, mesh: Mesh,

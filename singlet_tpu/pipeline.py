@@ -39,12 +39,15 @@ def cellxgene_pipeline(input_path: str, out: str | None = None,
                        verbose: int = 2, seed: int = 0,
                        metrics: str | None = None,
                        n_devices: int | None = None,
-                       h5ad_out: str | None = None, **run_kw):
+                       h5ad_out: str | None = None, config=None, **run_kw):
     """The pipeline: load -> preprocess -> NMF (timed) -> annotate -> save.
 
     ``metrics`` streams structured per-iteration JSONL events;
     ``n_devices`` > 1 runs the fits on a device mesh; ``h5ad_out`` also
-    writes the full experiment (matrix + reductions) as AnnData.
+    writes the full experiment (matrix + reductions) as AnnData. ``config``
+    (an :class:`~singlet_tpu.config.NMFConfig`) supplies the solver
+    hyperparameters; the explicit k/reps/L1/verbose/seed arguments and any
+    extra keyword arguments override its fields.
     """
     import contextlib
 
@@ -66,8 +69,8 @@ def cellxgene_pipeline(input_path: str, out: str | None = None,
     t0 = time.time()
     ctx = metric_logging(metrics) if metrics else contextlib.nullcontext()
     with ctx:
-        exp.run_nmf(k=k, reps=reps, L1=L1, verbose=verbose, seed=seed,
-                    mesh=mesh, **run_kw)
+        exp.run_nmf(k=k, config=config, reps=reps, L1=L1, verbose=verbose,
+                    seed=seed, mesh=mesh, **run_kw)
     runtime = time.time() - t0
     print(f" NMF took {runtime:.1f}s", flush=True)
     print(" annotating NMF model...", flush=True)

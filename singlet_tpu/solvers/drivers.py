@@ -79,23 +79,27 @@ def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMat
 
 def _engine_or_providers(A, mesh):
     """With a mesh, route to the multi-chip sparse engine (cells sharded
-    over the mesh, ELL storage); otherwise build single-chip providers."""
+    over the mesh, ELL storage); otherwise build single-chip providers.
+
+    Chunk lists and staged directories stream into the sharded planes one
+    chunk at a time — the concatenated matrix is never materialized on the
+    host (each process only ever holds its own cell range)."""
     if mesh is None:
         return _providers(A)
     import scipy.sparse as sp
 
-    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+    from singlet_tpu.parallel.sharded_ell import (ShardedEllEngine,
+                                                  shard_ell_from_chunks,
+                                                  shard_ell_from_staged)
 
     if isinstance(A, ShardedEllEngine):
         return A
     if isinstance(A, str):
-        from singlet_tpu.sparse.chunked import staged_chunk_loaders
-
-        A = staged_chunk_loaders(A)
+        return ShardedEllEngine(None, mesh=mesh,
+                                data=shard_ell_from_staged(A, mesh))
     if isinstance(A, (list, tuple)):
-        from singlet_tpu.sparse.chunked import _load_chunk
-
-        A = sp.hstack([_load_chunk(c) for c in A]).tocsc()
+        return ShardedEllEngine(None, mesh=mesh,
+                                data=shard_ell_from_chunks(A, mesh))
     return ShardedEllEngine(sp.csc_matrix(A), mesh=mesh)
 
 
@@ -163,12 +167,18 @@ def run_nmf(
     gene_names=None,
     cell_names=None,
     mesh=None,
+    config=None,
 ) -> NMFModel:
     """Fit NMF at a fixed rank (reference:R/run_nmf.R:18-77).
 
     ``mesh``: an optional ``jax.sharding.Mesh`` — the fit then runs on the
     multi-chip sparse engine with cells sharded over the mesh (models are
-    identical to the single-chip path)."""
+    identical to the single-chip path). ``config`` (an
+    :class:`~singlet_tpu.config.NMFConfig`) supplies the solver
+    hyperparameters, taking precedence over the per-argument defaults."""
+    if config is not None:
+        tol, maxit, L1, L2, seed = (config.tol, config.maxit, config.L1,
+                                    config.L2, config.seed)
     if np.isscalar(L1) and L1 >= 1:
         raise ValueError("L1 penalty must be strictly in the range [0, 1)")
     enable_compilation_cache()
@@ -249,6 +259,7 @@ def cross_validate_nmf(
     trace_test_mse: int = 5,
     seed: int = 0,
     mesh=None,
+    config=None,
 ) -> pd.DataFrame:
     """Masked CV over a (rank, replicate) grid
     (reference:R/cross_validate_nmf.R:18-105).
@@ -256,8 +267,17 @@ def cross_validate_nmf(
     Each replicate shares one nested w_init (rank-k fit uses the first k
     columns) and a deterministic per-replicate mask seed. Returns the tidy
     trace frame of class ``cross_validate_nmf_data``. ``mesh`` routes every
-    fit to the multi-chip sparse engine.
+    fit to the multi-chip sparse engine. ``config`` (an NMFConfig) supplies
+    the hyperparameters, taking precedence over per-argument defaults.
     """
+    if config is not None:
+        n_replicates, maxit, verbose = (config.reps, config.maxit,
+                                        config.verbose)
+        tol = config.cv_tol_effective
+        L1, L2, seed = config.L1, config.L2, config.seed
+        test_density = config.test_set_density
+        tol_overfit, trace_test_mse = (config.tol_overfit,
+                                       config.trace_test_mse)
     if L1 >= 1:
         raise ValueError("L1 penalty must be strictly in the range [0, 1)")
     if test_density > 0.2 or test_density < 0.01:
@@ -320,6 +340,7 @@ def ard_nmf(
     cell_names=None,
     max_fits: int = 100,
     mesh=None,
+    config=None,
 ) -> NMFModel:
     """Automatic rank determination (reference:R/ard_nmf.R:31-193).
 
@@ -329,8 +350,19 @@ def ard_nmf(
     neighbors are within 1. Then refits unmasked at the chosen rank.
 
     ``max_fits`` is a safety valve (no reference counterpart) against
-    pathological search oscillation.
+    pathological search oscillation. ``config`` (an NMFConfig) supplies the
+    hyperparameters, taking precedence over per-argument defaults.
     """
+    if config is not None:
+        k_init, k_max, k_min = config.k_init, config.k_max, config.k_min
+        n_replicates, tol, maxit = config.reps, config.tol, config.maxit
+        cv_tol = config.cv_tol_effective
+        L1, L2, seed, verbose = (config.L1, config.L2, config.seed,
+                                 config.verbose)
+        test_density = config.test_set_density
+        learning_rate, tol_overfit = (config.learning_rate,
+                                      config.tol_overfit)
+        trace_test_mse = config.trace_test_mse
     if L1 >= 1:
         raise ValueError("L1 penalty must be strictly in the range [0, 1)")
     if test_density > 0.2 or test_density < 0.01:

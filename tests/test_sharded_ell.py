@@ -322,3 +322,40 @@ def test_bell_pack_empty_and_single_column():
     li1, lv1 = _pack_bell(one, 8, 4, 1, w1)
     assert sorted(li1[0, 0][li1[0, 0] >= 0].tolist()) == [1, 3]
     assert sorted(lv1[0, 0][lv1[0, 0] > 0].tolist()) == [1.0, 2.5]
+
+
+def test_chunk_list_ingest_equals_full_ingest(rng, mesh8):
+    """shard_ell_from_chunks (streaming, no host concatenation) assembles
+    the bit-identical operand to shard_ell_data of the hstacked matrix."""
+    import scipy.sparse as sp
+
+    from singlet_tpu.parallel.sharded_ell import (shard_ell_data,
+                                                  shard_ell_from_chunks)
+
+    genes, cells = 48, 96
+    chunks = []
+    for i, w in enumerate([40, 25, 31]):
+        M = sp.random(genes, w, density=0.2, random_state=10 + i,
+                      dtype=np.float32, format="csc")
+        M.data = np.abs(M.data) + 0.1
+        chunks.append(M)
+    full = sp.hstack(chunks).tocsc()
+
+    d1 = shard_ell_from_chunks(chunks, mesh8)
+    d2 = shard_ell_data(full, mesh8)
+    assert d1.b_width == d2.b_width
+    np.testing.assert_array_equal(np.asarray(d1.b_li), np.asarray(d2.b_li))
+    np.testing.assert_array_equal(np.asarray(d1.b_val), np.asarray(d2.b_val))
+    np.testing.assert_array_equal(np.asarray(d1.nonempty),
+                                  np.asarray(d2.nonempty))
+    np.testing.assert_array_equal(np.asarray(d1.gene_nonempty),
+                                  np.asarray(d2.gene_nonempty))
+
+    # and the driver routes a chunk list through the streaming path
+    from singlet_tpu.solvers.drivers import run_nmf
+
+    w0 = rng.random((genes, 3)).astype(np.float32)
+    m_chunks = run_nmf(chunks, rank=3, w_init=w0, tol=0.0, maxit=3,
+                       mesh=mesh8)
+    m_full = run_nmf(full, rank=3, w_init=w0, tol=0.0, maxit=3, mesh=mesh8)
+    np.testing.assert_allclose(m_chunks.w, m_full.w, rtol=1e-6)

@@ -213,3 +213,39 @@ def test_plots_render(pbmc_small, tmp_path):
     plots.plot_factor_weights(model, 0).savefig(tmp_path / "fw.png")
     plt.close("all")
     assert (tmp_path / "rank1.png").stat().st_size > 0
+
+
+def test_experiment_run_gcnmf(pbmc_small, rng):
+    """Experiment.run_gcnmf mirrors RunGCNMF (reference:R/RunGCNMF.R:77),
+    implementing the documented intent (the reference wrapper passes the
+    wrong variable for the graph)."""
+    exp = pbmc_small
+    n = exp.n_cells
+    # a simple row-normalized ring graph over cells
+    G = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1], format="csc") / 3.0
+    exp.run_gcnmf(G, k=4, tol=1e-3, maxit=10, verbose=False)
+    model = exp.reductions["gcnmf"]
+    assert model.k == 4 and model.w.shape[0] == exp.n_genes
+    assert model.reduction_key == "GCNMF_"
+    # named graph dispatch
+    exp.graphs["ring"] = G
+    exp.run_gcnmf("ring", k=4, tol=1e-3, maxit=10,
+                  reduction_name="gcnmf2")
+    np.testing.assert_allclose(exp.reductions["gcnmf2"].w, model.w)
+    with pytest.raises(ValueError, match="cells x cells"):
+        exp.run_gcnmf(sp.eye(5, format="csc"), k=4)
+
+
+def test_package_exports_complete():
+    """Every public surface name the reference NAMESPACE implies is
+    importable from the package root (reference:NAMESPACE:3-24)."""
+    import singlet_tpu as st
+
+    for name in ["run_nmf", "ard_nmf", "cross_validate_nmf", "GetBestRank",
+                 "run_linked_nmf", "project_model", "gcnmf", "mu_nmf",
+                 "nmf_batch", "differentiate_model",
+                 "assign_cells_to_edge_clusters", "NMFConfig", "Experiment",
+                 "NMFModel", "load_pbmc3k"]:
+        assert hasattr(st, name), name
+        assert name in st.__all__ or name == "load_pbmc3k", name
