@@ -199,9 +199,10 @@ class Experiment:
                  reduction_name: str = "lnmf", reduction_key: str = "LNMF_",
                  link_cutoff: float = 0.5, tol: float = 1e-5,
                  maxit: int = 100, L1: float = 0.01, L2: float = 0.0,
-                 verbose: bool = True) -> "Experiment":
+                 verbose: bool = True, mesh=None) -> "Experiment":
         """Linked NMF initialized from an existing reduction
-        (reference:R/RunLNMF.R:98-190)."""
+        (reference:R/RunLNMF.R:98-190). ``mesh`` runs the linked fit
+        cell-sharded on the multi-chip sparse engine."""
         if reduction_use not in self.reductions:
             raise ValueError(f"no reduction {reduction_use!r}; run run_nmf first")
         base = self.reductions[reduction_use]
@@ -213,7 +214,7 @@ class Experiment:
         model = run_linked_nmf(A, base.w, link_h=link_h, tol=tol, maxit=maxit,
                                verbose=verbose, L1=L1, L2=L2,
                                gene_names=base.gene_names,
-                               cell_names=self.cell_names)
+                               cell_names=self.cell_names, mesh=mesh)
         model.reduction_key = reduction_key
         self.reductions[reduction_name] = model
         return self
@@ -252,9 +253,11 @@ class Experiment:
                      split_by: Optional[str] = None, L1: float = 0.01,
                      L2: float = 0.0, reduction_name: str = "nmf_projection",
                      reduction_key: str = "NNLS_",
-                     reorder: bool = False) -> "Experiment":
+                     reorder: bool = False, mesh=None) -> "Experiment":
         """NNLS projection onto an external factor model
-        (reference:R/ProjectData.R:37-110): genes are intersected by name."""
+        (reference:R/ProjectData.R:37-110): genes are intersected by name.
+        ``mesh`` runs the projection cell-sharded on the multi-chip sparse
+        engine (the million-cell ProjectData configuration)."""
         A = self._assay()
         if isinstance(w, NMFModel):
             gene_names_w = w.gene_names
@@ -273,7 +276,7 @@ class Experiment:
             used_genes = [self.gene_names[i] for i in a_rows]
         else:
             used_genes = self.gene_names
-        h, d = project_model(A, w, L1=L1, L2=L2)
+        h, d = project_model(A, w, L1=L1, L2=L2, mesh=mesh)
         model = NMFModel(w=w, d=d, h=h, gene_names=used_genes,
                          cell_names=self.cell_names,
                          reduction_key=reduction_key)

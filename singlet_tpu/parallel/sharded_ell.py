@@ -90,9 +90,9 @@ class ShardedEllData:
     indices ``gene - gb*gene_block`` (pad -1) and values (pad 0), at one
     UNIFORM width (the max per-(cell, block) count over all cells and
     blocks, agreed across hosts, rounded to 8). gb-major order lets both
-    SpMM directions stream the planes exactly once per pass
-    (ops/pallas_bell.py), and the uniform width gives every Pallas grid
-    step a static block shape.
+    SpMM directions stream the planes exactly once per pass, and the
+    uniform width gives every (cell_block x gene_block) compute tile a
+    static shape.
     """
 
     b_li: jnp.ndarray           # (n_gb, cells_pad, width) i32 local gene ids, P(None, AXIS, None)
@@ -464,7 +464,8 @@ def _bell_tile(li, lv, gene_block: int):
     return tile
 
 
-def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
+def build_sharded_ell_steps(data: ShardedEllData, inv_density: int,
+                            linked: bool = False):
     """Jitted plain + masked sharded ALS steps and mse over ELL shards.
 
     The masked step takes per-side penalties (L1_h, L1_w, L2_h, L2_w) and a
@@ -472,13 +473,17 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
     k_true provably stay exactly zero through every update (zero Gram row +
     zero RHS + clamp-at-zero), so only the CD-sweep divisor and the Pearson
     tol's element count need the true rank (same invariant as the
-    single-chip engine, solvers/als.py:als_step_masked)."""
-    fns = _build_local_fns(data, inv_density)
+    single-chip engine, solvers/als.py:als_step_masked). ``linked`` adds
+    (link_h_loc, link_w) arguments to the plain step (see
+    ``_build_local_fns``)."""
+    fns = _build_local_fns(data, inv_density, linked=linked)
     mesh = data.mesh
     specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
+    link_specs = (P(AXIS, None), P(None, None)) if linked else ()
     plain_step = jax.jit(jax.shard_map(
         fns["plain"], mesh=mesh,
-        in_specs=specs_a + (P(None, None), P(AXIS, None), P(), P(), P(), P()),
+        in_specs=specs_a + (P(None, None), P(AXIS, None)) + link_specs
+        + (P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P()),
         check_vma=False))
     masked_step = jax.jit(jax.shard_map(
@@ -496,9 +501,18 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int):
     return plain_step, masked_step, mse_fn
 
 
-def _build_local_fns(data: ShardedEllData, inv_density: int):
+def _build_local_fns(data: ShardedEllData, inv_density: int,
+                     linked: bool = False):
     """Per-device (shard_map body) functions shared by single steps and the
-    fused fit loops."""
+    fused fit loops.
+
+    ``linked`` (static) adds 0/1 linking-mask arguments to the plain step —
+    ``link_h_loc`` (cells_local, k, cell-sharded) and ``link_w``
+    (genes_pad, k, replicated) — which elementwise-multiply the NNLS
+    right-hand sides before the solves, zeroing unlinked factors exactly
+    like ``predict_link`` (reference:src/singlet.cpp:416-433) inside
+    ``c_linked_nmf`` (reference:src/singlet.cpp:1059-1086). The masked
+    (CV) path takes no links, matching the reference."""
     mesh = data.mesh
     n_dev = mesh.shape[AXIS]
     cells_local = data.cells_pad // n_dev
@@ -546,14 +560,18 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         return Ws.reshape(genes_pad, -1)
 
-    def _plain(b_li, b_val, ne_loc, gene_ne, W, H_loc,
-               L1_h, L1_w, L2_h, L2_w):
+    def _plain(b_li, b_val, ne_loc, gene_ne, W, H_loc, *rest):
         # Blocked over (cells x gene blocks): each blocked-ELL slice is
         # expanded to an MXU-dense (cell_block, gene_block) tile by the
         # fused compare-sum (_bell_tile), then dense matmuls. The w-update
         # right-hand sides accumulate over the SAME cell-block tiles
         # (B_w += tile^T @ H_b), so no transpose storage exists and every
         # buffer is O(cell_block * gene_block).
+        if linked:
+            link_h_loc, link_w, L1_h, L1_w, L2_h, L2_w = rest
+        else:
+            link_h_loc = link_w = None
+            L1_h, L1_w, L2_h, L2_w = rest
         k = W.shape[1]
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
 
@@ -565,6 +583,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
             for gb, tile in _gb_tiles(li, lv):
                 Wb = W[gb * gene_block:(gb + 1) * gene_block]
                 B = B + jnp.dot(tile, Wb, precision=MM_PRECISION)
+            if link_h_loc is not None:
+                B = B * _slice2(link_h_loc, start, cell_block)
             Y0 = _slice2(H_loc, start, cell_block)
             ne = _slice2(ne_loc, start, cell_block)
             return None, solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h,
@@ -595,6 +615,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         Bw, _ = jax.lax.scan(acc_blk, jnp.zeros((genes_pad, k), W.dtype),
                              jnp.arange(cells_local // cell_block))
         Bw = jax.lax.psum(Bw, AXIS)
+        if link_w is not None:
+            Bw = Bw * link_w
         W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, None)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
@@ -688,6 +710,33 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
         tol = cor_distance(W_new[:genes_true], W[:genes_true], n_true)
         return W_new, H_new, d, tol
 
+    def _project(b_li, b_val, ne_loc, W, L1, L2):
+        """One cold-start h half-update against a frozen, column-normalized
+        W — ``c_project_model`` (reference:src/singlet.cpp:405-413) on the
+        sharded ELL operand. Returns (H_loc, d)."""
+        k = W.shape[1]
+        Wn = W / (jnp.sum(W, axis=0) + 1e-15)[None, :]
+        a = jnp.dot(Wn.T, Wn, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
+
+        def blk(_, bi):
+            start = bi * cell_block
+            li = _slice_planes(b_li, start, cell_block)
+            lv = _slice_planes(b_val, start, cell_block)
+            B = jnp.zeros((cell_block, k), W.dtype)
+            for gb, tile in _gb_tiles(li, lv):
+                B = B + jnp.dot(
+                    tile, Wn[gb * gene_block:(gb + 1) * gene_block],
+                    precision=MM_PRECISION)
+            ne = _slice2(ne_loc, start, cell_block)
+            return None, solve_nnls(a, B, jnp.zeros((cell_block, k), W.dtype),
+                                    L1=L1, L2=L2, update_mask=ne)
+
+        _, Hs = jax.lax.scan(blk, None,
+                             jnp.arange(cells_local // cell_block))
+        H_new = Hs.reshape(cells_local, k)
+        d = jax.lax.psum(jnp.sum(H_new, axis=0), AXIS) + 1e-15
+        return H_new / d[None, :], d
+
     def _mse(b_li, b_val, W, d, H_loc, seed):
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
@@ -718,22 +767,24 @@ def _build_local_fns(data: ShardedEllData, inv_density: int):
                               jnp.arange(cells_local // cell_block))
         return jax.lax.psum(acc, AXIS) / cells_true
 
-    return dict(plain=_plain, masked=_masked, mse=_mse)
+    return dict(plain=_plain, masked=_masked, mse=_mse, project=_project)
 
 
 def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
-                               maxit: int, masked: bool):
+                               maxit: int, masked: bool,
+                               linked: bool = False):
     """The whole (plain or masked, traceless) fit as ONE device program:
     ``lax.while_loop`` over the sharded ALS step under ``shard_map``.
     Returns (W, H, d, n_iter, tols[maxit]). One host sync per fit — the
     multi-chip twin of solvers/als.py:_fit_loop_device."""
-    fns = _build_local_fns(data, inv_density)
+    fns = _build_local_fns(data, inv_density, linked=linked)
     step = fns["masked"] if masked else fns["plain"]
     mesh = data.mesh
 
     def _loop(a_idx, a_val, ne_loc, gene_ne, W, H, *extra):
         # extra = (..., tol_target, n_steps):
-        #   (L1_h, L1_w, L2_h, L2_w, tol_target, n_steps) plain
+        #   ([link_h_loc, link_w,] L1_h, L1_w, L2_h, L2_w, tol_target,
+        #    n_steps) plain
         #   (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target, n_steps) masked
         # n_steps is a traced budget <= the static maxit, letting chunked
         # callers run a partial final chunk on the same compiled program.
@@ -758,8 +809,11 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
         return W, H, d, it, tols
 
     specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
-    extra_specs = ((P(None), P(), P(), P(), P(), P(), P(), P()) if masked
-                   else (P(), P(), P(), P(), P(), P()))
+    if masked:
+        extra_specs = (P(None), P(), P(), P(), P(), P(), P(), P())
+    else:
+        link_specs = (P(AXIS, None), P(None, None)) if linked else ()
+        extra_specs = link_specs + (P(), P(), P(), P(), P(), P())
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None)) + extra_specs,
@@ -876,17 +930,19 @@ class ShardedEllEngine:
     def cols_true(self) -> int:
         return self.data.cells_true
 
-    def steps(self, inv_density: int):
-        if inv_density not in self._steps:
-            self._steps[inv_density] = build_sharded_ell_steps(
-                self.data, inv_density)
-        return self._steps[inv_density]
+    def steps(self, inv_density: int, linked: bool = False):
+        key = (inv_density, linked)
+        if key not in self._steps:
+            self._steps[key] = build_sharded_ell_steps(
+                self.data, inv_density, linked=linked)
+        return self._steps[key]
 
-    def fit_loop(self, inv_density: int, maxit: int, masked: bool):
-        key = ("fit", inv_density, maxit, masked)
+    def fit_loop(self, inv_density: int, maxit: int, masked: bool,
+                 linked: bool = False):
+        key = ("fit", inv_density, maxit, masked, linked)
         if key not in self._loops:
             self._loops[key] = build_sharded_ell_fit_loop(
-                self.data, inv_density, maxit, masked)
+                self.data, inv_density, maxit, masked, linked=linked)
         return self._loops[key]
 
     def ard_loop(self, inv_density: int, maxit: int, trace_every: int,
@@ -927,11 +983,19 @@ class ShardedEllEngine:
             masked: bool = False, inv_density: int = 20,
             mask_seed: int = 0,
             checkpoint: Optional[Union[str, CheckpointManager]] = None,
-            chunk_iters: Optional[int] = None):
+            chunk_iters: Optional[int] = None,
+            link_h: Optional[np.ndarray] = None,
+            link_w: Optional[np.ndarray] = None):
         """Plain (or masked, without traces) sharded fit; returns the same
         dict shape ``sharded_ell_nmf_fit`` always has. L1/L2 may be scalars
         or (w, h) pairs — both sides reach both half-updates (the masked
         path previously dropped the w side; now supported).
+
+        ``link_h`` (cells, k) / ``link_w`` (genes, k): 0/1 linking masks
+        for linked NMF (``c_linked_nmf``, reference:src/singlet.cpp:
+        1059-1086) — link_h is cell-sharded over the mesh, link_w
+        replicated. Links are a plain-fit feature (the reference's masked
+        ARD solver takes none).
 
         ``chunk_iters``: run the fused device loop in chunks of this many
         iterations per device call (semantics unchanged — the loop's own
@@ -941,11 +1005,39 @@ class ShardedEllEngine:
         overhead, so a chunk of ~4-8 amortizes dispatch while staying under
         execution deadlines."""
         k = int(k)
+        linked = link_h is not None or link_w is not None
+        if linked and masked:
+            raise ValueError("linked NMF has no masked (CV) variant "
+                             "(reference c_ard_nmf takes no link matrices)")
         _, masked_step, mse_fn = self.steps(inv_density)
         W, H, args, _ = self._state(k, w_init, seed)
         sp_ = seed_pair(mask_seed)
         L1_w, L1_h = _as_pair(L1)
         L2_w, L2_h = _as_pair(L2)
+
+        link_args = ()
+        if linked:
+            data = self.data
+            lh = np.ones((data.cells_pad, k), np.float32)
+            if link_h is not None:
+                link_h = np.asarray(link_h, np.float32)
+                if link_h.shape != (data.cells_true, k):
+                    raise ValueError(
+                        f"link_h must be (cells, k) = ({data.cells_true}, "
+                        f"{k}), got {link_h.shape}")
+                lh[: data.cells_true] = link_h
+            lw = np.ones((data.genes_pad, k), np.float32)
+            if link_w is not None:
+                link_w = np.asarray(link_w, np.float32)
+                if link_w.shape != (data.genes_true, k):
+                    raise ValueError(
+                        f"link_w must be (genes, k) = ({data.genes_true}, "
+                        f"{k}), got {link_w.shape}")
+                lw[: data.genes_true] = link_w
+            link_args = (
+                jax.device_put(lh, NamedSharding(self.mesh, P(AXIS, None))),
+                jax.device_put(lw, NamedSharding(self.mesh, P(None, None))),
+            )
 
         mgr = resolve_manager(checkpoint)
         traces = []
@@ -957,7 +1049,8 @@ class ShardedEllEngine:
             genes_pad=int(self.data.genes_pad),
             cells_pad=int(self.data.cells_pad), L1=[L1_w, L1_h],
             L2=[L2_w, L2_h], seed=int(seed), mask_seed=int(mask_seed),
-            inv_density=int(inv_density))
+            inv_density=int(inv_density),
+            linked=[link_h is not None, link_w is not None])
         if mgr is not None:
             st = mgr.restore(ckpt_config, verbose=bool(verbose))
             if st is not None:
@@ -973,7 +1066,7 @@ class ShardedEllEngine:
         if mgr is None:
             chunk = int(maxit if chunk_iters is None
                         else min(chunk_iters, maxit))
-            loop = self.fit_loop(inv_density, chunk, bool(masked))
+            loop = self.fit_loop(inv_density, chunk, bool(masked), linked)
             while it < maxit and tol_ > tol:
                 budget = jnp.int32(min(chunk, maxit - it))
                 if masked:
@@ -984,9 +1077,9 @@ class ShardedEllEngine:
                         budget)
                 else:
                     W, H, d, n_it, tols = loop(
-                        *args, W, H, jnp.float32(L1_h), jnp.float32(L1_w),
-                        jnp.float32(L2_h), jnp.float32(L2_w),
-                        jnp.float32(tol), budget)
+                        *args, W, H, *link_args, jnp.float32(L1_h),
+                        jnp.float32(L1_w), jnp.float32(L2_h),
+                        jnp.float32(L2_w), jnp.float32(tol), budget)
                 n = int(n_it)
                 new = [float(t) for t in np.asarray(tols[:n])]
                 traces.extend(new)
@@ -998,7 +1091,7 @@ class ShardedEllEngine:
                 for i, t in enumerate(traces):
                     print(f"{i + 1:4d} | {t:8.2e}")
         else:
-            plain_step = self.steps(inv_density)[0]
+            plain_step = self.steps(inv_density, linked)[0]
             while it < maxit and tol_ > tol:
                 if masked:
                     W, H, d, tol_j = masked_step(
@@ -1006,7 +1099,7 @@ class ShardedEllEngine:
                         jnp.float32(L1_w), jnp.float32(L2_h),
                         jnp.float32(L2_w), jnp.int32(k))
                 else:
-                    W, H, d, tol_j = plain_step(*args, W, H,
+                    W, H, d, tol_j = plain_step(*args, W, H, *link_args,
                                                 jnp.float32(L1_h),
                                                 jnp.float32(L1_w),
                                                 jnp.float32(L2_h),
@@ -1031,6 +1124,40 @@ class ShardedEllEngine:
             out["test_mse"] = float(
                 mse_fn(self.data.b_li, self.data.b_val, W, d, H, sp_))
         return out
+
+    def project(self, w: np.ndarray, L1: float = 0.01, L2: float = 0.0):
+        """Project the dataset's cells onto a frozen factor model
+        (``c_project_model``, reference:src/singlet.cpp:405-413): normalize
+        w's factor columns, one cold-start NNLS h half-update over the
+        sharded ELL planes, rescale. Returns (h (k, cells), d (k,)).
+
+        This is the scale path for ProjectData
+        (reference:R/ProjectData.R:37-110) — the operand stays in sharded
+        sparse storage; no densification anywhere."""
+        data = self.data
+        w = np.asarray(w, np.float32)
+        if w.shape[0] != data.genes_true:
+            if w.shape[1] == data.genes_true:
+                w = w.T
+            else:
+                raise ValueError("'w' must share a common edge with the "
+                                 "gene axis of the dataset")
+        k = w.shape[1]
+        key = ("project",)
+        if key not in self._loops:
+            fns = _build_local_fns(data, 20)
+            self._loops[key] = jax.jit(jax.shard_map(
+                fns["project"], mesh=self.mesh,
+                in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(AXIS),
+                          P(None, None), P(), P()),
+                out_specs=(P(AXIS, None), P(None)),
+                check_vma=False))
+        W = jnp.zeros((data.genes_pad, k), jnp.float32)
+        W = W.at[: data.genes_true].set(jnp.asarray(w))
+        W = jax.device_put(W, NamedSharding(self.mesh, P(None, None)))
+        H, d = self._loops[key](data.b_li, data.b_val, data.nonempty, W,
+                                jnp.float32(L1), jnp.float32(L2))
+        return np.asarray(H[: data.cells_true]).T, np.asarray(d)
 
     def ard_fit(self, k: int, w_init=None, mask_seed: int = 0,
                 inv_density: int = 20, tol: float = 1e-4, maxit: int = 100,
@@ -1167,10 +1294,13 @@ def sharded_ell_nmf_fit(A: sp.spmatrix, k: int, mesh: Optional[Mesh] = None,
                         mask_seed: int = 0, verbose: bool = False,
                         w_init: Optional[np.ndarray] = None,
                         data: Optional[ShardedEllData] = None,
-                        checkpoint=None, chunk_iters: Optional[int] = None):
+                        checkpoint=None, chunk_iters: Optional[int] = None,
+                        link_h: Optional[np.ndarray] = None,
+                        link_w: Optional[np.ndarray] = None):
     """Sparse sharded NMF fit. Semantics identical to the dense engines."""
     engine = ShardedEllEngine(A, mesh=mesh, data=data)
     return engine.fit(k, tol=tol, maxit=maxit, L1=L1, L2=L2, seed=seed,
                       verbose=verbose, w_init=w_init, masked=masked,
                       inv_density=inv_density, mask_seed=mask_seed,
-                      checkpoint=checkpoint, chunk_iters=chunk_iters)
+                      checkpoint=checkpoint, chunk_iters=chunk_iters,
+                      link_h=link_h, link_w=link_w)

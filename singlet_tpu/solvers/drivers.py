@@ -43,49 +43,35 @@ def _coerce_dense(A) -> np.ndarray:
     return np.asarray(A, dtype=np.float32)
 
 
-def _providers(A, sparse_threshold: float = 64e6) -> Tuple[DenseMatrix, DenseMatrix]:
-    """Build (A, At) providers. scipy-sparse inputs above `sparse_threshold`
-    dense entries stay in ELL storage (sparse storage, dense compute tiles);
-    everything smaller is densified outright — fastest on the MXU.
+# scipy-sparse inputs with more dense entries than this stay in blocked-ELL
+# sparse storage (the transpose-free engine); smaller inputs are densified
+# outright — the fastest path on the MXU ("sparse optimization" on TPU means
+# not fighting the MXU).
+SPARSE_THRESHOLD = 64e6
 
-    List/tuple inputs are the chunked "sparse list" mode: column chunks
-    (scipy matrices, .svc/.mtx paths, or loader callables) streamed into ELL
-    planes one at a time (reference:src/singlet.cpp:384-402 and the R
-    distributed transpose reference:R/ard_nmf.R:57-70). A string input names
-    a staged chunk directory (stage_chunks)."""
+
+def _providers(A) -> Tuple[DenseMatrix, DenseMatrix]:
+    """Build single-chip dense (A, At) providers (or pass a prebuilt
+    provider pair through)."""
     if isinstance(A, tuple) and len(A) == 2 and hasattr(A[0], "t_matmul"):
         return A
-    if isinstance(A, str):
-        from singlet_tpu.sparse.chunked import load_staged_chunks
-
-        return load_staged_chunks(A)
-    if isinstance(A, (list, tuple)):
-        from singlet_tpu.sparse.chunked import ell_pair_from_chunks
-
-        return ell_pair_from_chunks(A)
-    try:
-        import scipy.sparse as sp
-
-        if sp.issparse(A) and A.shape[0] * A.shape[1] > sparse_threshold:
-            from singlet_tpu.sparse.ell import EllMatrix
-
-            return EllMatrix.pair_from_csc(A)
-    except ImportError:
-        pass
     # make_dense_providers ships scipy-sparse inputs as COO triplets and
     # densifies on device (the dense transfer dominates otherwise)
     return make_dense_providers(A if is_scipy_sparse(A) else _coerce_dense(A))
 
 
 def _engine_or_providers(A, mesh):
-    """With a mesh, route to the multi-chip sparse engine (cells sharded
-    over the mesh, ELL storage); otherwise build single-chip providers.
+    """Route the input to a compute backend.
 
-    Chunk lists and staged directories stream into the sharded planes one
-    chunk at a time — the concatenated matrix is never materialized on the
-    host (each process only ever holds its own cell range)."""
-    if mesh is None:
-        return _providers(A)
+    All sparse-at-scale inputs — scipy matrices above ``SPARSE_THRESHOLD``
+    dense entries, chunk lists, staged directories — run on the blocked-ELL
+    engine (transpose-free, scatter-free, cell-sharded), on the given mesh
+    or a 1-device mesh when none is given: the single-chip sparse path IS
+    the multi-chip engine at mesh size 1 (one layout, one packer, one
+    compute formulation). Chunk lists and staged directories stream into
+    the sharded planes one chunk at a time — the concatenated matrix is
+    never materialized on the host. Everything smaller becomes dense
+    single-chip providers (or, with a mesh, engine shards)."""
     import scipy.sparse as sp
 
     from singlet_tpu.parallel.sharded_ell import (ShardedEllEngine,
@@ -95,11 +81,24 @@ def _engine_or_providers(A, mesh):
     if isinstance(A, ShardedEllEngine):
         return A
     if isinstance(A, str):
+        from singlet_tpu.parallel.sharded import make_mesh
+
+        mesh = mesh or make_mesh(1)
         return ShardedEllEngine(None, mesh=mesh,
                                 data=shard_ell_from_staged(A, mesh))
-    if isinstance(A, (list, tuple)):
+    if isinstance(A, (list, tuple)) and not (
+            len(A) == 2 and hasattr(A[0], "t_matmul")):
+        from singlet_tpu.parallel.sharded import make_mesh
+
+        mesh = mesh or make_mesh(1)
         return ShardedEllEngine(None, mesh=mesh,
                                 data=shard_ell_from_chunks(A, mesh))
+    if mesh is None:
+        if sp.issparse(A) and A.shape[0] * A.shape[1] > SPARSE_THRESHOLD:
+            from singlet_tpu.parallel.sharded import make_mesh
+
+            return ShardedEllEngine(sp.csc_matrix(A), mesh=make_mesh(1))
+        return _providers(A)
     return ShardedEllEngine(sp.csc_matrix(A), mesh=mesh)
 
 

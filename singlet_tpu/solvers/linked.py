@@ -16,8 +16,18 @@ import numpy as np
 
 from singlet_tpu.model import NMFModel
 from singlet_tpu.solvers.als import nmf_fit
-from singlet_tpu.solvers.drivers import _coerce_dense, _finalize
+from singlet_tpu.solvers.drivers import _engine_or_providers, _finalize
 from singlet_tpu.utils import enable_compilation_cache
+
+
+def _shape_of(P) -> tuple:
+    """(genes, cells) of a matrix, provider pair, or sharded engine."""
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    if isinstance(P, ShardedEllEngine):
+        return P.rows_true, P.cols_true
+    Ap, _ = P
+    return Ap.rows_true, Ap.cols_true
 
 
 def run_linked_nmf(
@@ -32,11 +42,19 @@ def run_linked_nmf(
     L2: float = 0.0,
     gene_names=None,
     cell_names=None,
+    mesh=None,
 ) -> NMFModel:
     """Linked NMF initialized from an existing model's w (genes x k).
 
     link_h: (k, cells) 0/1 linking of factors to samples (reference
     orientation); link_w: (genes, k) linking of factors to features.
+
+    ``A`` may be dense, scipy sparse (stays in ELL storage at scale — never
+    densified), a chunk list / staged directory, or a prebuilt
+    :class:`~singlet_tpu.parallel.sharded_ell.ShardedEllEngine`; with
+    ``mesh`` the fit runs cell-sharded on the multi-chip sparse engine
+    (reference ``c_linked_nmf`` runs on its sparse iterators,
+    reference:src/singlet.cpp:1059-1086).
     """
     if link_h is None and link_w is None:
         raise ValueError(
@@ -44,9 +62,11 @@ def run_linked_nmf(
             "linking matrix.")
     if L1 >= 1:
         raise ValueError("L1 penalty must be strictly in the range [0, 1)")
-    A = _coerce_dense(A)
+    enable_compilation_cache()
+    P = _engine_or_providers(A, mesh)
+    genes, cells = _shape_of(P)
     w = np.asarray(w, np.float32)
-    if w.shape[0] != A.shape[0]:
+    if w.shape[0] != genes:
         raise ValueError("number of rows in 'w' must equal the number of "
                          "rows in 'A'")
     k = w.shape[1]
@@ -55,19 +75,28 @@ def run_linked_nmf(
         if link_h.shape[0] != k:
             raise ValueError("number of rows in 'link_h' must equal the "
                              "number of columns in 'w'")
-        if link_h.shape[1] != A.shape[1]:
+        if link_h.shape[1] != cells:
             raise ValueError("number of columns in 'link_h' must equal the "
                              "number of columns in 'A'")
         link_h = link_h.T          # solver layout: (cells, k)
     if link_w is not None:
         link_w = np.asarray(link_w, np.float32)
-        if link_w.shape != (A.shape[0], k):
+        if link_w.shape != (genes, k):
             raise ValueError("'link_w' must have shape (nrow(A), k)")
 
-    enable_compilation_cache()
-    res = nmf_fit(A, k, w_init=w, tol=tol, maxit=maxit, L1=L1, L2=L2,
-                  verbose=verbose, link_h=link_h, link_w=link_w)
-    model = _finalize(res.w, res.d, res.h, gene_names, cell_names)
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    if isinstance(P, ShardedEllEngine):
+        out = P.fit(k, tol=tol, maxit=maxit, L1=L1, L2=L2,
+                    verbose=bool(verbose), w_init=w,
+                    link_h=link_h, link_w=link_w)
+        model = _finalize(out["w"], out["d"], out["h"], gene_names,
+                          cell_names)
+    else:
+        Ap, Atp = P
+        res = nmf_fit(Ap, k, At=Atp, w_init=w, tol=tol, maxit=maxit, L1=L1,
+                      L2=L2, verbose=verbose, link_h=link_h, link_w=link_w)
+        model = _finalize(res.w, res.d, res.h, gene_names, cell_names)
     model.misc["link_matrix"] = None if link_h is None else link_h.T
     return model
 

@@ -8,13 +8,14 @@ The reference handles matrices too large for one dgCMatrix as a
 binary staging of a matrix and its transpose on disk
 (reference:src/singlet.cpp:843-945).
 
-TPU-native equivalent: chunks are streamed ONE AT A TIME into the padded ELL
-index/value planes the engines consume — the full CSC matrix is never
-materialized. The transpose problem is solved by a streaming transpose with
-per-gene running write offsets (same information as the reference's
-distributed transpose, built in one pass over transposed chunks). Disk
-staging uses the native SVC1 compressed shard format (singlet_io), one file
-per chunk plus a JSON manifest.
+TPU-native equivalent: chunks are streamed ONE AT A TIME into the
+blocked-ELL planes the engine consumes
+(``parallel.sharded_ell.shard_ell_from_chunks``) — the full CSC matrix is
+never materialized, and no transpose is ever built (the engine is
+transpose-free: the reference's distributed-transpose problem disappears).
+This module provides the chunk sources and disk staging: the native SVC1
+compressed shard format (singlet_io), one file per chunk plus a JSON
+manifest.
 
 Chunks may be scipy sparse matrices, file paths (``.svc`` / ``.npz`` /
 ``.mtx``), or callables returning either — callables let truly out-of-core
@@ -25,16 +26,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, List, Sequence, Tuple, Union
+from typing import Callable, List, Sequence, Union
 
-import jax.numpy as jnp
-import numpy as np
 import scipy.sparse as sp
 
-from singlet_tpu.sparse.ell import EllMatrix, _round_up
-
-__all__ = ["ell_pair_from_chunks", "stage_chunks", "load_staged_chunks",
-           "staged_chunk_loaders"]
+__all__ = ["stage_chunks", "staged_chunk_loaders"]
 
 ChunkSource = Union[sp.spmatrix, str, Callable[[], sp.spmatrix]]
 
@@ -55,106 +51,6 @@ def _load_chunk(c: ChunkSource) -> sp.csc_matrix:
     return sp.csc_matrix(c)
 
 
-def ell_pair_from_chunks(
-    chunks: Sequence[ChunkSource],
-    cell_block: int = 2048,
-    gene_block: int = 2048,
-) -> Tuple[EllMatrix, EllMatrix]:
-    """Build the (A, At) ELL provider pair by streaming column chunks.
-
-    Equivalent surface to ``EllMatrix.pair_from_csc`` but peak host memory is
-    one chunk + the ELL planes. Two passes over the chunk sources: a
-    metadata pass (shapes, per-column/per-gene nnz) and a packing pass.
-    """
-    from singlet_tpu import native
-
-    # ---- pass 1: geometry -------------------------------------------------
-    genes = None
-    cells = 0
-    max_nnz_a = 1
-    gene_nnz = None
-    chunk_cols: List[int] = []
-    for c in chunks:
-        M = _load_chunk(c)
-        if genes is None:
-            genes = M.shape[0]
-            gene_nnz = np.zeros(genes, np.int64)
-        elif M.shape[0] != genes:
-            raise ValueError(
-                f"chunk gene-axis mismatch: {M.shape[0]} != {genes}")
-        chunk_cols.append(M.shape[1])
-        cells += M.shape[1]
-        nnz_col = np.diff(M.indptr)
-        if nnz_col.size:
-            max_nnz_a = max(max_nnz_a, int(nnz_col.max()))
-        gene_nnz += np.bincount(M.indices, minlength=genes)
-        del M
-    if genes is None:
-        raise ValueError("no chunks given")
-
-    blk_c = min(cell_block, _round_up(max(cells, 1), 256))
-    cells_pad = _round_up(cells, blk_c)
-    blk_g = min(gene_block, _round_up(genes, 256))
-    genes_pad = _round_up(genes, blk_g)
-    max_nnz_a = _round_up(max_nnz_a, 8)
-    max_nnz_t = _round_up(max(int(gene_nnz.max()), 1), 8)
-
-    a_idx = np.full((cells_pad, max_nnz_a), genes_pad - 1, np.int32)
-    a_val = np.zeros((cells_pad, max_nnz_a), np.float32)
-    at_idx = np.full((genes_pad, max_nnz_t), cells_pad - 1, np.int32)
-    at_val = np.zeros((genes_pad, max_nnz_t), np.float32)
-    # streaming-transpose running write offsets per gene (the distributed-
-    # transpose bookkeeping, reference:R/ard_nmf.R:57-70, done in one pass)
-    t_off = np.zeros(genes, np.int64)
-    ne_cells = np.zeros(cells_pad, bool)
-
-    # ---- pass 2: pack -----------------------------------------------------
-    col0 = 0
-    for c in chunks:
-        M = _load_chunk(c)
-        ncol = M.shape[1]
-        idx, val = native.csc_to_ell(M, ncol, max_nnz_a, genes_pad - 1)
-        a_idx[col0: col0 + ncol] = idx
-        a_val[col0: col0 + ncol] = val
-        ne_cells[col0: col0 + ncol] = np.diff(M.indptr) > 0
-
-        T = native.csc_transpose(M)          # cells_chunk x genes, CSC
-        cnt = np.diff(T.indptr)              # per-gene nnz in this chunk
-        # scatter each gene's run into its plane row at the running offset
-        dest = np.repeat(t_off + np.arange(genes) * max_nnz_t, cnt) + \
-            _ragged_arange(cnt)
-        at_idx.reshape(-1)[dest] = T.indices + col0
-        at_val.reshape(-1)[dest] = T.data
-        t_off += cnt
-        col0 += ncol
-        del M, T
-
-    ne_genes = np.zeros(genes_pad, bool)
-    ne_genes[:genes] = gene_nnz > 0
-
-    Ap = EllMatrix(idx=jnp.asarray(a_idx), val=jnp.asarray(a_val),
-                   nonempty=jnp.asarray(ne_cells), rows_pad=genes_pad,
-                   rows_true=genes, cols_true=cells, cols_are_cells=True,
-                   block=blk_c)
-    Atp = EllMatrix(idx=jnp.asarray(at_idx), val=jnp.asarray(at_val),
-                    nonempty=jnp.asarray(ne_genes), rows_pad=cells_pad,
-                    rows_true=cells, cols_true=genes, cols_are_cells=False,
-                    block=blk_g)
-    return Ap, Atp
-
-
-def _ragged_arange(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated — vectorized."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    starts = np.zeros(len(counts), np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    out = np.arange(total, dtype=np.int64)
-    out -= np.repeat(starts, counts)
-    return out
-
-
 # ---------------------------------------------------------------------------
 # Disk staging (write_IVCSC / save_IVSparse / read_IVSparse analogue)
 # ---------------------------------------------------------------------------
@@ -169,9 +65,10 @@ def stage_chunks(directory: str, chunks: Sequence[ChunkSource],
     ``value_compress`` uses the v2 value-grouped encoding (VCSC analogue):
     each distinct value stored once per column — smaller for redundant
     values like raw or log-normalized counts.
-    Unlike the reference, the transpose is NOT staged — the streaming
-    transpose in :func:`ell_pair_from_chunks` rebuilds it in one pass, which
-    profiles faster than a second disk read at SVC1 decode speeds.
+    Unlike the reference, the transpose is NOT staged at all — the
+    blocked-ELL engine is transpose-free (w-update right-hand sides
+    accumulate over the same cell-block planes,
+    parallel/sharded_ell.py).
     """
     from singlet_tpu import native
 
@@ -195,8 +92,8 @@ def stage_chunks(directory: str, chunks: Sequence[ChunkSource],
 
 
 def staged_chunk_loaders(directory: str) -> List[Callable[[], sp.csc_matrix]]:
-    """Lazy per-chunk loaders for a staged directory (feed to
-    :func:`ell_pair_from_chunks` or the drivers' list input)."""
+    """Lazy per-chunk loaders for a staged directory (feed to the
+    drivers' list input or ``shard_ell_from_chunks``)."""
     from singlet_tpu import native
 
     with open(os.path.join(directory, "manifest.json")) as f:
@@ -209,8 +106,3 @@ def staged_chunk_loaders(directory: str) -> List[Callable[[], sp.csc_matrix]]:
         return lambda: native.svc_read(path)
 
     return [loader(c["file"]) for c in meta["chunks"]]
-
-
-def load_staged_chunks(directory: str) -> Tuple[EllMatrix, EllMatrix]:
-    """Build the (A, At) provider pair directly from a staged directory."""
-    return ell_pair_from_chunks(staged_chunk_loaders(directory))

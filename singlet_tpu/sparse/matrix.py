@@ -10,14 +10,17 @@ operand supporting:
   * ``nonempty``           -> bool (cols,) columns with any nonzero
   * padding bookkeeping    -> true row/col counts vs padded device shapes
 
-Two implementations:
+One implementation lives here:
   * DenseMatrix — the operand densified in HBM. For anything that fits
     (<=~100k cells on one chip) this is the fastest path: every product is a
     straight MXU matmul; "sparse optimization" on TPU means *not fighting the
     MXU*. Mask handling multiplies the operand tile by the mask tile (VPU
     fusion) rather than walking indices.
-  * EllMatrix (sparse/ell.py) — nnz-padded ELL blocks + Pallas gather kernels
-    for matrices too large to densify; shares this interface.
+
+Matrices too large to densify do not use a provider at all: the drivers
+route them to the transpose-free blocked-ELL engine
+(parallel/sharded_ell.py) on a 1-device mesh — the single-chip sparse path
+IS the multi-chip engine at mesh size 1.
 
 Cell/gene orientation: A is (genes x cells) -> ``cols_are_cells=True``; the
 transposed operand At is (cells x genes) -> ``cols_are_cells=False``. The CV

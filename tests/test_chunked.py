@@ -1,16 +1,16 @@
-"""Chunked "sparse list" ingestion: streaming ELL build, staging, drivers."""
+"""Chunked "sparse list" ingestion: streaming blocked-ELL build, staging,
+drivers. Chunk lists and staged directories route to the transpose-free
+blocked-ELL engine (single-chip = 1-device mesh), streamed one chunk at a
+time (reference sparse-list mode: src/singlet.cpp:384-402; R distributed
+transpose: R/ard_nmf.R:57-70 — made unnecessary by the transpose-free
+engine)."""
 
 import numpy as np
 import scipy.sparse as sp
 
-from singlet_tpu.solvers.drivers import cross_validate_nmf, run_nmf
-from singlet_tpu.sparse.chunked import (
-    ell_pair_from_chunks,
-    load_staged_chunks,
-    stage_chunks,
-    staged_chunk_loaders,
-)
-from singlet_tpu.sparse.ell import EllMatrix
+from singlet_tpu.solvers.drivers import (_engine_or_providers,
+                                         cross_validate_nmf, run_nmf)
+from singlet_tpu.sparse.chunked import stage_chunks, staged_chunk_loaders
 
 
 def _mat(genes=120, cells=3000, density=0.05):
@@ -26,15 +26,19 @@ def _split(A, n):
 
 
 def test_chunked_planes_match_monolithic():
+    """Streaming chunk ingest builds bit-identical blocked-ELL planes to
+    monolithic ingest of the concatenated matrix."""
+    from singlet_tpu.parallel.sharded import make_mesh
+    from singlet_tpu.parallel.sharded_ell import (shard_ell_data,
+                                                  shard_ell_from_chunks)
+
     A = _mat()
-    Ap1, At1 = EllMatrix.pair_from_csc(A)
-    Ap2, At2 = ell_pair_from_chunks(_split(A, 4))
-    assert Ap1.cols_pad == Ap2.cols_pad and At1.rows_pad == At2.rows_pad
-    np.testing.assert_array_equal(np.asarray(Ap1.val), np.asarray(Ap2.val))
-    np.testing.assert_array_equal(np.asarray(Ap1.idx), np.asarray(Ap2.idx))
-    # At planes: same per-gene entries (chunk-streamed transpose vs direct)
-    np.testing.assert_array_equal(np.asarray(At1.val), np.asarray(At2.val))
-    np.testing.assert_array_equal(np.asarray(At1.idx), np.asarray(At2.idx))
+    mesh = make_mesh(1)
+    d1 = shard_ell_from_chunks(_split(A, 4), mesh)
+    d2 = shard_ell_data(A, mesh)
+    assert d1.b_width == d2.b_width
+    np.testing.assert_array_equal(np.asarray(d1.b_li), np.asarray(d2.b_li))
+    np.testing.assert_array_equal(np.asarray(d1.b_val), np.asarray(d2.b_val))
 
 
 def test_stage_and_reload(tmp_path):
@@ -45,9 +49,6 @@ def test_stage_and_reload(tmp_path):
     assert len(loaders) == 3
     R = sp.hstack([ld() for ld in loaders]).tocsc()
     assert (R != A).nnz == 0
-    Ap, At = load_staged_chunks(d)
-    Ap0, At0 = EllMatrix.pair_from_csc(A)
-    np.testing.assert_array_equal(np.asarray(Ap.val), np.asarray(Ap0.val))
 
 
 def test_run_nmf_list_input_matches_matrix(rng):
@@ -57,6 +58,15 @@ def test_run_nmf_list_input_matches_matrix(rng):
     m_mono = run_nmf(dense, rank=4, tol=0.0, maxit=5, seed=3)
     np.testing.assert_allclose(m_list.w, m_mono.w, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(m_list.d, m_mono.d, rtol=2e-4)
+
+
+def test_list_input_routes_to_engine():
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    A = _mat(genes=60, cells=300, density=0.1)
+    P = _engine_or_providers(_split(A, 2), None)
+    assert isinstance(P, ShardedEllEngine)
+    assert P.cols_true == 300
 
 
 def test_cv_accepts_staged_dir(tmp_path):

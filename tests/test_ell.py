@@ -1,13 +1,20 @@
-"""ELL sparse provider: storage roundtrip + solver equivalence with dense."""
+"""The single-chip sparse path: blocked-ELL engine routing + equivalences.
+
+Large scipy-sparse inputs route to the transpose-free blocked-ELL engine on
+a 1-device mesh — the same layout/packer/compute as the multi-chip path
+(parallel/sharded_ell.py), with no scatter anywhere (TPU has no scatter
+hardware; benchmarks/probe_ell_spmm.py measured the old row-ELL scatter
+densify at 4.4 s/pass vs ~0.5 s for the blocked compare-sum formulation).
+"""
 
 import numpy as np
-import jax.numpy as jnp
+import pytest
 import scipy.sparse as sp
 
-from singlet_tpu.ops.rngmask import seed_pair
-from singlet_tpu.solvers.als import als_step_masked, mse_test, nmf_fit
-from singlet_tpu.solvers.ard import ard_nmf_fit
-from singlet_tpu.sparse.ell import EllMatrix
+from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+from singlet_tpu.solvers import drivers
+from singlet_tpu.solvers.als import nmf_fit
+from singlet_tpu.solvers.drivers import _engine_or_providers, run_nmf
 
 
 def _sparse(rng, genes=60, cells=40, density=0.15):
@@ -17,56 +24,76 @@ def _sparse(rng, genes=60, cells=40, density=0.15):
     return A
 
 
-def test_ell_roundtrip(rng):
-    A = _sparse(rng)
-    E = EllMatrix.from_csc(A)
-    # densified blocks reconstruct the matrix
-    tile = np.asarray(E.col_block(0, E.cols_pad))
-    np.testing.assert_allclose(tile[: A.shape[0], : A.shape[1]],
-                               np.asarray(A.todense()), rtol=1e-6)
-    # padding region is zero
-    assert tile[A.shape[0]:, :].sum() == 0
-    assert tile[:, A.shape[1]:].sum() == 0
+def test_large_sparse_routes_to_engine(monkeypatch):
+    """Above SPARSE_THRESHOLD, scipy inputs stay sparse on the blocked-ELL
+    engine (1-device mesh); below it they densify."""
+    monkeypatch.setattr(drivers, "SPARSE_THRESHOLD", 100)
+    A = _sparse(np.random.default_rng(0))
+    P = _engine_or_providers(A, None)
+    assert isinstance(P, ShardedEllEngine)
+    assert P.mesh.devices.size == 1
+    assert P.rows_true == A.shape[0] and P.cols_true == A.shape[1]
+
+    monkeypatch.setattr(drivers, "SPARSE_THRESHOLD", 64e6)
+    P2 = _engine_or_providers(A, None)
+    assert not isinstance(P2, ShardedEllEngine)
 
 
-def test_ell_t_matmul_matches_dense(rng):
-    A = _sparse(rng)
-    E = EllMatrix.from_csc(A)
-    X = jnp.asarray(rng.random((E.rows_pad, 5)).astype(np.float32))
-    got = np.asarray(E.t_matmul(X))
-    want = np.asarray(A.todense()).T @ np.asarray(X)[: A.shape[0]]
-    np.testing.assert_allclose(got[: A.shape[1]], want, rtol=1e-5, atol=1e-6)
-
-
-def test_ell_fit_matches_dense_fit(rng):
+def test_engine_routed_fit_matches_dense(monkeypatch, rng):
+    """run_nmf on the engine-routed sparse path == the dense single-chip
+    engine (same counter-RNG keying, same ALS semantics)."""
+    monkeypatch.setattr(drivers, "SPARSE_THRESHOLD", 100)
     A = _sparse(rng)
     k = 4
     w0 = rng.random((A.shape[0], k)).astype(np.float32)
+    m_sparse = run_nmf(A, k, w_init=w0, tol=0.0, maxit=4)
     dense_res = nmf_fit(np.asarray(A.todense()), k, w_init=w0, tol=0.0,
                         maxit=4)
-    Ap, Atp = EllMatrix.pair_from_csc(A)
-    ell_res = nmf_fit(Ap, k, At=Atp, w_init=w0, tol=0.0, maxit=4)
-    np.testing.assert_allclose(ell_res.w, dense_res.w, rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(ell_res.h, dense_res.h, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(m_sparse.w, dense_res.w[:, np.argsort(
+        -dense_res.d)], rtol=2e-4, atol=2e-5)
 
 
-def test_ell_masked_fit_matches_dense(rng):
+def test_engine_routed_cv_matches_dense(monkeypatch, rng):
+    """Masked CV traces on the engine route == dense-path traces."""
+    monkeypatch.setattr(drivers, "SPARSE_THRESHOLD", 100)
     A = _sparse(rng)
-    k = 3
-    w0 = rng.random((A.shape[0], k)).astype(np.float32)
-    dres = ard_nmf_fit(np.asarray(A.todense()), k, w_init=w0, mask_seed=5,
-                       inv_density=8, tol=0.0, maxit=3, trace_test_mse=1)
-    Ap, Atp = EllMatrix.pair_from_csc(A)
-    eres = ard_nmf_fit(Ap, k, At=Atp, w_init=w0, mask_seed=5,
-                       inv_density=8, tol=0.0, maxit=3, trace_test_mse=1)
-    np.testing.assert_allclose(eres.w, dres.w, rtol=5e-4, atol=5e-5)
-    np.testing.assert_allclose(eres.test_mse, dres.test_mse, rtol=1e-4)
+    kw = dict(ranks=[2, 3], n_replicates=1, maxit=3, verbose=0,
+              trace_test_mse=1, test_density=0.1, seed=4)
+    df_sparse = drivers.cross_validate_nmf(A, **kw)
+    monkeypatch.setattr(drivers, "SPARSE_THRESHOLD", 64e6)
+    df_dense = drivers.cross_validate_nmf(np.asarray(A.todense()), **kw)
+    assert list(df_sparse["k"]) == list(df_dense["k"])
+    np.testing.assert_allclose(df_sparse["test_error"],
+                               df_dense["test_error"], rtol=2e-3)
 
 
-def test_driver_routes_large_sparse_to_ell(rng):
-    from singlet_tpu.solvers.drivers import _providers
+def test_no_scatter_in_operand_densify(rng):
+    """The blocked-ELL tile densify + SpMM (the operand-sized work) lowers
+    with no scatter op — it is a pure multiply-compare-sum chain + matmul.
+    (The CPU-fallback CD-NNLS still updates factor columns with tiny
+    (block, k) scatters; on TPU that solve is the fused Pallas kernel.
+    probe_ell_spmm.py measured the old row-ELL operand scatter at 4.4 s/pass
+    at the 524k-cell scale — this test pins the formulation that removed
+    it.)"""
+    import jax
+    import jax.numpy as jnp
 
-    A = _sparse(rng)
-    Ap, Atp = _providers(A, sparse_threshold=100)  # force ELL
-    assert isinstance(Ap, EllMatrix) and isinstance(Atp, EllMatrix)
-    assert Ap.cols_are_cells and not Atp.cols_are_cells
+    from singlet_tpu.parallel.sharded import make_mesh
+    from singlet_tpu.parallel.sharded_ell import _bell_tile
+
+    A = _sparse(np.random.default_rng(1), genes=64, cells=96)
+    eng = ShardedEllEngine(A, mesh=make_mesh(1))
+    data = eng.data
+    n_gb = data.genes_pad // data.gene_block
+
+    def spmm(b_li, b_val, W):
+        B = jnp.zeros((b_li.shape[1], W.shape[1]), W.dtype)
+        for gb in range(n_gb):
+            tile = _bell_tile(b_li[gb], b_val[gb], data.gene_block)
+            B = B + tile @ W[gb * data.gene_block:(gb + 1) * data.gene_block]
+        return B
+
+    W = jnp.zeros((data.genes_pad, 3))
+    hlo = jax.jit(spmm).lower(data.b_li, data.b_val, W).as_text()
+    assert "scatter" not in hlo.lower()
+    assert "gather" not in hlo.lower()

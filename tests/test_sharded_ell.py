@@ -359,3 +359,46 @@ def test_chunk_list_ingest_equals_full_ingest(rng, mesh8):
                        mesh=mesh8)
     m_full = run_nmf(full, rank=3, w_init=w0, tol=0.0, maxit=3, mesh=mesh8)
     np.testing.assert_allclose(m_chunks.w, m_full.w, rtol=1e-6)
+
+
+def test_sharded_linked_matches_dense(rng, mesh8):
+    """run_linked_nmf(mesh=) on the sharded ELL engine reproduces the dense
+    single-chip linked fit (reference:src/singlet.cpp:1059-1086), and
+    unlinked factors decay toward zero for unlinked cells."""
+    from singlet_tpu.solvers.linked import run_linked_nmf
+
+    A = _sparse(rng)
+    genes, cells = A.shape
+    k = 4
+    w0 = rng.random((genes, k)).astype(np.float32)
+    link_h = np.ones((k, cells), np.float32)
+    link_h[0, : cells // 2] = 0.0          # factor 0 unlinked from 1st half
+    link_w = np.ones((genes, k), np.float32)
+    link_w[: genes // 4, 1] = 0.0          # factor 1 unlinked from 1st genes
+
+    m_dense = run_linked_nmf(np.asarray(A.todense()), w0, link_h=link_h,
+                             link_w=link_w, tol=0.0, maxit=5, verbose=False)
+    m_mesh = run_linked_nmf(A, w0, link_h=link_h, link_w=link_w, tol=0.0,
+                            maxit=5, verbose=False, mesh=mesh8)
+    np.testing.assert_allclose(m_mesh.w, m_dense.w, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m_mesh.d, m_dense.d, rtol=3e-4)
+    np.testing.assert_allclose(m_mesh.h, m_dense.h, rtol=3e-4, atol=3e-5)
+    # the link zeroed factor-0 embeddings for the first half of the cells
+    # (factor order may change after the d sort; find factor by w match)
+    assert np.abs(m_mesh.h[:, : cells // 2]).min() == pytest.approx(0.0)
+
+
+def test_sharded_project_matches_dense(rng, mesh8):
+    """project_model(mesh=) == dense projection — ProjectData's scale path
+    (reference:src/singlet.cpp:405-413)."""
+    from singlet_tpu.solvers.project import project_model
+
+    A = _sparse(rng)
+    W = rng.random((A.shape[0], 5)).astype(np.float32)
+    h_d, d_d = project_model(np.asarray(A.todense()), W, L1=0.01)
+    h_m, d_m = project_model(A, W, L1=0.01, mesh=mesh8)
+    np.testing.assert_allclose(h_m, h_d, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(d_m, d_d, rtol=3e-4)
+    # sparse single-chip provider path (no mesh, no densify)
+    h_s, d_s = project_model(A, W, L1=0.01)
+    np.testing.assert_allclose(h_s, h_d, rtol=3e-4, atol=3e-5)
