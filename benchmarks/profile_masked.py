@@ -1,13 +1,16 @@
 """Decompose the masked (CV) large-scale iteration: RNG mask build vs
 packed-Gram matmuls vs per-cell-Gram NNLS vs masked tile products, on the
-real operand shapes (524k cells x 16k genes, k=100, 5% mask).
+real operand shapes (524k cells x 16k genes, k=100, 5% mask), current
+blocked-ELL layout.
 
 Sync discipline: scalar fetch per call (block_until_ready does not wait on
-the tunneled platform).
+the tunneled platform); chained dependencies inside each probe prevent the
+relay from deduping repeats.
 
-Run: python benchmarks/profile_masked.py
+Run: python benchmarks/profile_masked.py [--cells N]
 """
 
+import argparse
 import json
 import os
 import sys
@@ -17,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=524288)
+    ap.add_argument("--genes", type=int, default=16384)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--nnz", type=int, default=824)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -24,19 +34,19 @@ def main():
                       "/tmp/singlet_tpu_jax_cache")
     from benchmarks.largescale import build_sharded_ell_synth
     from singlet_tpu.ops.linalg import (
-        MM_PRECISION, packed_outer_products, triu_pairs, unpack_sym)
+        MASK_MM_PRECISION, MM_PRECISION, packed_outer_products, triu_pairs,
+        unpack_sym)
     from singlet_tpu.ops.nnls import solve_nnls
     from singlet_tpu.ops.rngmask import mask_block, seed_pair
     from singlet_tpu.parallel.sharded_ell import _bell_tile
 
-    genes, cells, p, k = 16384, 524288, 824, 100
-    data = build_sharded_ell_synth(genes, cells, p)
+    genes, cells, k = args.genes, args.cells, args.k
+    data = build_sharded_ell_synth(genes, cells, args.nnz)
     cell_block, gene_block = data.cell_block, data.gene_block
     n_blocks = cells // cell_block
     n_gb = genes // gene_block
-    off = data.b_offsets
     b_li, b_val = data.b_li, data.b_val
-    float(jnp.sum(b_val[0]))
+    float(jnp.sum(b_val[0, 0]))
     inv_density = 20
     seed = seed_pair(123)
     iu = triu_pairs(k)
@@ -45,6 +55,10 @@ def main():
 
     def slice_blk(arr, bi, blk=cell_block):
         return jax.lax.dynamic_slice_in_dim(arr, bi * blk, blk, 0)
+
+    def slice_planes(arr, bi):
+        return jax.lax.dynamic_slice_in_dim(arr, bi * cell_block,
+                                            cell_block, 1)
 
     def mask_of(bi):
         ids = bi * cell_block + jnp.arange(cell_block)
@@ -62,11 +76,52 @@ def main():
 
     @jax.jit
     def mask_pw(seed, Pw):
+        """mask gen + h-side packed-Gram product (cells x genes @ genes x np)."""
         def blk(acc, bi):
             m = mask_of(bi)
             packed = jnp.dot(m.astype(jnp.float32), Pw,
-                             precision=MM_PRECISION)
+                             precision=MASK_MM_PRECISION)
             return acc + packed[0, 0] + packed[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def tiles_only(b_li, b_val):
+        """bELL tile densify alone (both passes do this)."""
+        def blk(acc, bi):
+            li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
+            s = jnp.zeros(())
+            for gb in range(n_gb):
+                tile = _bell_tile(li[gb], lv[gb], gene_block)
+                s = s + tile[0, 0] + tile[-1, -1]
+            return acc + s
+        return scan_blocks(blk)
+
+    @jax.jit
+    def masked_tiles_dot(seed, b_val, b_li, W):
+        """mask gen + keep-multiplied tile B product (the masked h RHS)."""
+        def blk(acc, bi):
+            m = mask_of(bi)
+            keep = jnp.where(m, 0.0, 1.0)
+            li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
+            B = jnp.zeros((cell_block, k), jnp.float32)
+            for gb in range(n_gb):
+                tile = _bell_tile(li[gb], lv[gb], gene_block)
+                gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+                B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
+                                precision=MM_PRECISION)
+            return acc + B[0, 0] + B[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def packed_h_accum(seed, H):
+        """mask gen + w-side packed accumulation (genes x cells @ cells x np)."""
+        def blk(acc, bi):
+            m = mask_of(bi)
+            Hb = slice_blk(H, bi)
+            Ph_b = packed_outer_products(Hb, iu)
+            Pk = jnp.dot(m.astype(jnp.float32).T, Ph_b,
+                         precision=MASK_MM_PRECISION)
+            return acc + Pk[0, 0] + Pk[-1, -1]
         return scan_blocks(blk)
 
     @jax.jit
@@ -80,30 +135,11 @@ def main():
         return scan_blocks(blk)
 
     @jax.jit
-    def masked_tiles_dot(seed, b_val, b_li, W):
+    def shared_gram_nnls(a_full, B, X0):
+        """shared-Gram NNLS (the plain path's solve) for comparison."""
         def blk(acc, bi):
-            m = mask_of(bi)
-            keep = jnp.where(m, 0.0, 1.0)
-            li, lv = slice_blk(b_li, bi), slice_blk(b_val, bi)
-            B = jnp.zeros((cell_block, k), jnp.float32)
-            for gb in range(n_gb):
-                tile = _bell_tile(li[:, off[gb]:off[gb + 1]],
-                                  lv[:, off[gb]:off[gb + 1]], gene_block)
-                gsl = slice(gb * gene_block, (gb + 1) * gene_block)
-                B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
-                                precision=MM_PRECISION)
-            return acc + B[0, 0] + B[-1, -1]
-        return scan_blocks(blk)
-
-    @jax.jit
-    def packed_h_accum(seed, H):
-        def blk(acc, bi):
-            m = mask_of(bi)
-            Hb = slice_blk(H, bi)
-            Ph_b = packed_outer_products(Hb, iu)
-            Pk = jnp.dot(m.astype(jnp.float32).T, Ph_b,
-                         precision=MM_PRECISION)
-            return acc + Pk[0, 0] + Pk[-1, -1]
+            Hb = solve_nnls(a_full * (1 + acc * 1e-30), B, X0, L1=0.01)
+            return acc + Hb[0, 0] + Hb[-1, -1]
         return scan_blocks(blk)
 
     key = jax.random.PRNGKey(0)
@@ -123,16 +159,19 @@ def main():
             float(f(*args))
         return round((time.perf_counter() - t0) / n, 3)
 
-    res = {}
-    res["mask_only_s"] = timed(mask_only, seed)
-    print("mask_only", res["mask_only_s"], flush=True)
-    res["mask_pw_s"] = timed(mask_pw, seed, Pw)
-    print("mask_pw", res["mask_pw_s"], flush=True)
-    res["gram_prep_nnls_s"] = timed(gram_prep_nnls, packed0, a_full, B0, X0)
-    print("gram_prep_nnls", res["gram_prep_nnls_s"], flush=True)
-    res["masked_tiles_dot_s"] = timed(masked_tiles_dot, seed, b_val, b_li, W)
-    print("masked_tiles_dot", res["masked_tiles_dot_s"], flush=True)
-    res["packed_h_accum_s"] = timed(packed_h_accum, seed, H)
+    res = {"mask_mm_precision": str(MASK_MM_PRECISION),
+           "cells": cells, "genes": genes, "k": k}
+    for name, fn, fargs in [
+        ("mask_only_s", mask_only, (seed,)),
+        ("tiles_only_s", tiles_only, (b_li, b_val)),
+        ("mask_pw_s", mask_pw, (seed, Pw)),
+        ("masked_tiles_dot_s", masked_tiles_dot, (seed, b_val, b_li, W)),
+        ("packed_h_accum_s", packed_h_accum, (seed, H)),
+        ("gram_prep_nnls_s", gram_prep_nnls, (packed0, a_full, B0, X0)),
+        ("shared_gram_nnls_s", shared_gram_nnls, (a_full, B0, X0)),
+    ]:
+        res[name] = timed(fn, *fargs)
+        print(name, res[name], flush=True)
     print(json.dumps(res), flush=True)
 
 

