@@ -33,18 +33,23 @@ MM_PRECISION = {
 }[os.environ.get("SINGLET_TPU_MM_PRECISION", "highest").lower()]
 
 # The masked-CV packed-Gram products (mask @ packed_outer_products) are the
-# masked-path bottleneck at scale (~1.8 s per pass at HIGHEST on the
-# 524k-cell k=100 operand; benchmarks/probe_mask_mm.py). The mask operand
+# masked-path bottleneck at scale (~1.7 s per pass at HIGHEST on the
+# 524k-cell k=100 operand; benchmarks/profile_masked.py). The mask operand
 # is exactly representable at any precision (0/1); only the packed outer
-# products round. SINGLET_TPU_MASK_MM_PRECISION=default opts these matmuls
-# (alone) into single-pass bf16 products with f32 accumulation — 2.9x on
-# that phase; the CV-curve invariance guard applies as above. Defaults to
-# MM_PRECISION (reference-exact).
+# products round, and each output entry sums ~genes*density independent
+# rounded terms (statistically ~sqrt(n) bf16-ulp relative error with f32
+# accumulation). These matmuls (alone) therefore DEFAULT to single-pass
+# bf16 with f32 accumulation — ~3x on that phase; the guards are
+# benchmarks/precision_invariance.py (pbmc3k CV curve shift <= 6.5e-5,
+# identical selected rank) and the mesh-vs-dense equivalence tests.
+# SINGLET_TPU_MASK_MM_PRECISION=highest restores reference-exact products.
+# On CPU (the test mesh) every precision level is exact f32 — CPU test
+# equivalences are unaffected by this default.
 MASK_MM_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-    "": MM_PRECISION,
+    "": jax.lax.Precision.DEFAULT,
 }[os.environ.get("SINGLET_TPU_MASK_MM_PRECISION", "").lower()]
 
 

@@ -47,7 +47,7 @@ CD_TOL = 1e-8
 CD_MAX_SWEEPS = int(os.environ.get("SINGLET_TPU_MAX_SWEEPS", "100"))
 
 
-@partial(jax.jit, static_argnames=("max_sweeps",))
+@partial(jax.jit, static_argnames=("max_sweeps", "return_sweeps"))
 def nnls_batch(
     a: jnp.ndarray,
     B: jnp.ndarray,
@@ -57,6 +57,7 @@ def nnls_batch(
     update_mask: jnp.ndarray | None = None,
     max_sweeps: int = CD_MAX_SWEEPS,
     n_coord=None,
+    return_sweeps: bool = False,
 ) -> jnp.ndarray:
     """Solve n independent NNLS systems a_c x_c = b_c, x_c >= 0, warm-started.
 
@@ -77,9 +78,13 @@ def nnls_batch(
         the first k_true of k coordinates are live (the padded coordinates
         contribute exactly zero to tol_sweep, so this restores the
         unbucketed threshold).
+      return_sweeps: also return per-column sweep counts (n,) int32 — the
+        number of CD sweeps each column ran before converging/capping.
+        Instrumentation for honest FLOP accounting (bench.py); adds one
+        masked add per sweep.
 
     Returns:
-      X, shape (n, k), dtype of B.
+      X, shape (n, k), dtype of B; with ``return_sweeps``, (X, sweeps).
     """
     n, k = B.shape
     batched_a = a.ndim == 3
@@ -125,7 +130,7 @@ def nnls_batch(
         jnp.asarray(n_coord, jnp.float32)
 
     def body(carry):
-        X, Bres, active, sweep = carry
+        X, Bres, active, sweep, col_sweeps = carry
         X_prev = X
         active_f = active.astype(dtype)
         for i in range(k):  # static unroll: sequential Gauss-Seidel recurrence
@@ -136,15 +141,19 @@ def nnls_batch(
         # (reference:src/singlet.cpp:243) without per-coordinate bookkeeping.
         tol_sweep = jnp.sum(jnp.abs(X - X_prev) / (X + 1e-15), axis=1)
         sweep = sweep + 1
+        col_sweeps = col_sweeps + active.astype(jnp.int32)
         active = active & (tol_sweep / k_div > CD_TOL) & (sweep < max_sweeps)
-        return X, Bres, active, sweep
+        return X, Bres, active, sweep, col_sweeps
 
     def cond(carry):
         return jnp.any(carry[2])
 
-    X, _, _, _ = jax.lax.while_loop(
-        cond, body, (X0, B.astype(dtype), active0, jnp.zeros((), jnp.int32))
+    X, _, _, _, col_sweeps = jax.lax.while_loop(
+        cond, body, (X0, B.astype(dtype), active0, jnp.zeros((), jnp.int32),
+                     jnp.zeros((n,), jnp.int32))
     )
+    if return_sweeps:
+        return X, col_sweeps
     return X
 
 

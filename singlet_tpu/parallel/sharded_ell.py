@@ -575,46 +575,46 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         k = W.shape[1]
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
 
-        def h_blk(_, bi):
+        # ONE fused pass over cell blocks: each block's tiles are built
+        # once and used for both the h-update RHS and (with the freshly
+        # solved, still-unnormalized H_b) the w-update RHS accumulation.
+        # The global column rescale H /= d is applied algebraically after
+        # the scan: B_w and the H Gram are linear/bilinear in H, so
+        # psum(B_w_raw)/d and psum(Gram_raw)/outer(d, d) equal the
+        # two-pass formulation exactly (modulo fp reassociation). Halves
+        # the tile-densify work per iteration (profile_masked.py:
+        # tiles_only 0.32 s/pass at the 524k config).
+        def blk(carry, bi):
+            Bw, Hsum, Hgram = carry
             start = bi * cell_block
             li = _slice_planes(b_li, start, cell_block)
             lv = _slice_planes(b_val, start, cell_block)
+            tiles = [t for _, t in _gb_tiles(li, lv)]
             B = jnp.zeros((cell_block, k), W.dtype)
-            for gb, tile in _gb_tiles(li, lv):
+            for gb, tile in enumerate(tiles):
                 Wb = W[gb * gene_block:(gb + 1) * gene_block]
                 B = B + jnp.dot(tile, Wb, precision=MM_PRECISION)
             if link_h_loc is not None:
                 B = B * _slice2(link_h_loc, start, cell_block)
             Y0 = _slice2(H_loc, start, cell_block)
             ne = _slice2(ne_loc, start, cell_block)
-            return None, solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h,
-                                    update_mask=ne)
-
-        # pass 1: h-update per cell block (tiles are rebuilt in pass 2 —
-        # stashing them would materialize the dense matrix)
-        _, Hs = jax.lax.scan(h_blk, None,
-                             jnp.arange(cells_local // cell_block))
-        H_new = Hs.reshape(cells_local, k)
-        d = jax.lax.psum(jnp.sum(H_new, axis=0), AXIS) + 1e-15
-        H_new = H_new / d[None, :]
-
-        a_h = jax.lax.psum(
-            jnp.dot(H_new.T, H_new, precision=MM_PRECISION), AXIS)
-        a_h = a_h + 1e-15 * jnp.eye(k)
-
-        # pass 2: accumulate w-update RHS over cell blocks
-        def acc_blk(Bw, bi):
-            start = bi * cell_block
-            li = _slice_planes(b_li, start, cell_block)
-            lv = _slice_planes(b_val, start, cell_block)
-            Hb = _slice2(H_new, start, cell_block)
+            Hb = solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h, update_mask=ne)
             parts = [jnp.dot(tile.T, Hb, precision=MM_PRECISION)
-                     for _, tile in _gb_tiles(li, lv)]
-            return Bw + jnp.concatenate(parts, axis=0), None
+                     for tile in tiles]
+            Bw = Bw + jnp.concatenate(parts, axis=0)
+            Hsum = Hsum + jnp.sum(Hb, axis=0)
+            Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
+            return (Bw, Hsum, Hgram), Hb
 
-        Bw, _ = jax.lax.scan(acc_blk, jnp.zeros((genes_pad, k), W.dtype),
-                             jnp.arange(cells_local // cell_block))
-        Bw = jax.lax.psum(Bw, AXIS)
+        carry0 = (jnp.zeros((genes_pad, k), W.dtype),
+                  jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
+        (Bw, Hsum, Hgram), Hs = jax.lax.scan(
+            blk, carry0, jnp.arange(cells_local // cell_block))
+        d = jax.lax.psum(Hsum, AXIS) + 1e-15
+        H_new = Hs.reshape(cells_local, k) / d[None, :]
+        a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])
+        a_h = a_h + 1e-15 * jnp.eye(k)
+        Bw = jax.lax.psum(Bw, AXIS) / d[None, :]
         if link_w is not None:
             Bw = Bw * link_w
         W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, None)
@@ -641,67 +641,60 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             return m & (ids < cells_true)[:, None] & \
                 (gene_ids < genes_true)[None, :]
 
-        def h_blk(_, bi):
+        # ONE fused pass over cell blocks (same algebra as the plain step's
+        # fusion): the mask, the keep-multiplied tiles, and the per-block
+        # packed products are each built ONCE per iteration — the dominant
+        # masked-path costs (profile_masked.py: mask+tiles+keep ~0.9 s,
+        # each packed product 1.5-1.7 s at HIGHEST / ~0.55 s at bf16 on the
+        # 524k config) are no longer paid twice. The w-side accumulators
+        # use the unnormalized H_b and are rescaled after the psum:
+        # B_w scales as 1/d per column, the packed H Gram corrections as
+        # 1/(d_i d_j) per pair. Ph is built per block — materializing
+        # (cells_local, npairs) would be 10s of GB at scale.
+        def blk(carry, bi):
+            Bw, Pk, Hsum, Hgram = carry
             start = bi * cell_block
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                cell_block)
-            m = _mask_of(ids)
+            m = _mask_of(ids).astype(W.dtype)
             li = _slice_planes(b_li, start, cell_block)
             lv = _slice_planes(b_val, start, cell_block)
-            keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
-            B = jnp.zeros((cell_block, k), W.dtype)
+            # keep-multiplied (training) tiles, reused by both products
+            kts = []
             for gb, tile in _gb_tiles(li, lv):
                 gsl = slice(gb * gene_block, (gb + 1) * gene_block)
-                B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
+                kts.append(tile * (1.0 - m[:, gsl]))
+            B = jnp.zeros((cell_block, k), W.dtype)
+            for gb, kt in enumerate(kts):
+                B = B + jnp.dot(kt, W[gb * gene_block:(gb + 1) * gene_block],
                                 precision=MM_PRECISION)
-            packed = jnp.dot(m.astype(W.dtype), Pw,
-                             precision=MASK_MM_PRECISION)
+            packed = jnp.dot(m, Pw, precision=MASK_MM_PRECISION)
             a_blk = a_full[None] - unpack_sym(packed, k, iu)
             Y0 = _slice2(H_loc, start, cell_block)
             ne = _slice2(ne_loc, start, cell_block)
-            return None, solve_nnls(a_blk, B, Y0, L1=L1_h, L2=L2_h,
-                                    update_mask=ne, n_coord=n_coord)
-
-        _, Hs = jax.lax.scan(h_blk, None,
-                             jnp.arange(cells_local // cell_block))
-        H_new = Hs.reshape(cells_local, k)
-        d = jax.lax.psum(jnp.sum(H_new, axis=0), AXIS) + 1e-15
-        H_new = H_new / d[None, :]
-
-        a_h = jax.lax.psum(
-            jnp.dot(H_new.T, H_new, precision=MM_PRECISION), AXIS)
-        a_h = a_h + 1e-15 * jnp.eye(k)
-
-        # accumulate the w-update RHS and the per-gene packed Gram
-        # corrections over cell blocks (masked entries drop out of B; their
-        # H outer products accumulate per gene). Ph is built per block —
-        # materializing (cells_local, npairs) would be 10s of GB at scale.
-        def acc_blk(carry, bi):
-            Bw, Pk = carry
-            start = bi * cell_block
-            ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
-                                               cell_block)
-            m = _mask_of(ids)
-            li = _slice_planes(b_li, start, cell_block)
-            lv = _slice_planes(b_val, start, cell_block)
-            keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
-            Hb = _slice2(H_new, start, cell_block)
-            parts = [jnp.dot((tile * keep[:, gb * gene_block:
-                                          (gb + 1) * gene_block]).T, Hb,
-                             precision=MM_PRECISION)
-                     for gb, tile in _gb_tiles(li, lv)]
+            Hb = solve_nnls(a_blk, B, Y0, L1=L1_h, L2=L2_h,
+                            update_mask=ne, n_coord=n_coord)
+            parts = [jnp.dot(kt.T, Hb, precision=MM_PRECISION)
+                     for kt in kts]
             Bw = Bw + jnp.concatenate(parts, axis=0)
             Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
-            Pk = Pk + jnp.dot(m.astype(W.dtype).T, Ph_b,
-                              precision=MASK_MM_PRECISION)
-            return (Bw, Pk), None
+            Pk = Pk + jnp.dot(m.T, Ph_b, precision=MASK_MM_PRECISION)
+            Hsum = Hsum + jnp.sum(Hb, axis=0)
+            Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
+            return (Bw, Pk, Hsum, Hgram), Hb
 
-        (Bw, Pk), _ = jax.lax.scan(
-            acc_blk, (jnp.zeros((genes_pad, k), W.dtype),
-                      jnp.zeros((genes_pad, npairs), W.dtype)),
-            jnp.arange(cells_local // cell_block))
-        Bw = jax.lax.psum(Bw, AXIS)
-        Pk = jax.lax.psum(Pk, AXIS)
+        carry0 = (jnp.zeros((genes_pad, k), W.dtype),
+                  jnp.zeros((genes_pad, npairs), W.dtype),
+                  jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
+        (Bw, Pk, Hsum, Hgram), Hs = jax.lax.scan(
+            blk, carry0, jnp.arange(cells_local // cell_block))
+        d = jax.lax.psum(Hsum, AXIS) + 1e-15
+        H_new = Hs.reshape(cells_local, k) / d[None, :]
+        a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])
+        a_h = a_h + 1e-15 * jnp.eye(k)
+        Bw = jax.lax.psum(Bw, AXIS) / d[None, :]
+        d_pair = d[iu[0]] * d[iu[1]]                     # (npairs,)
+        Pk = jax.lax.psum(Pk, AXIS) / d_pair[None, :]
         W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
                                 packed_w=Pk, k=k, iu=iu)
         d = jnp.sum(W_new, axis=0) + 1e-15

@@ -1,0 +1,71 @@
+"""Worker for the 2-process jax.distributed test (test_distributed.py).
+
+Run as: python tests/_dist_worker.py <port> <process_id> <out_dir>
+
+Each process owns 4 virtual CPU devices (8 global), joins the coordination
+service for real, ingests ONLY its own cell-column slice via
+``shard_ell_from_local``, and runs a 2-iteration sharded fit. Process 0
+saves the model for comparison against the single-process twin.
+"""
+
+import os
+import sys
+
+
+def main():
+    port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4").strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import scipy.sparse as sp
+
+    from singlet_tpu.parallel import multihost
+    from singlet_tpu.parallel.sharded_ell import (ShardedEllEngine,
+                                                  ell_geometry,
+                                                  shard_ell_from_local)
+
+    multihost.initialize(coordinator_address=f"localhost:{port}",
+                         num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    mesh = multihost.global_mesh()
+
+    # both processes construct the same deterministic matrix, then each
+    # passes ONLY its owned slice to the ingest (the full matrix exists here
+    # only to make the test self-contained)
+    genes, cells, k = 48, 96, 3
+    A = sp.random(genes, cells, density=0.2, random_state=11,
+                  dtype=np.float32, format="csc")
+    A.data = np.abs(A.data) + 0.1
+
+    genes_pad, cells_pad, cb, gb = ell_geometry(genes, cells, mesh)
+    cells_local = cells_pad // 8
+    start = pid * 4 * cells_local
+    stop = min((pid + 1) * 4 * cells_local, cells)
+    local = A[:, start:stop].tocsc()
+
+    data = shard_ell_from_local(local, cells, mesh)
+    eng = ShardedEllEngine(None, data=data)
+    rng = np.random.default_rng(5)
+    w0 = rng.random((genes, k)).astype(np.float32)
+    out = eng.fit(k, tol=0.0, maxit=2, w_init=w0)
+
+    # every process computes identical global results; process 0 persists
+    if pid == 0:
+        np.savez(os.path.join(out_dir, "dist_result.npz"),
+                 w=out["w"], d=out["d"], h=out["h"])
+    jax.distributed.shutdown()
+    print(f"worker {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

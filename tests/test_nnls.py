@@ -130,3 +130,30 @@ def test_update_mask_freezes_rows(rng):
                               update_mask=jnp.asarray(mask)))
     np.testing.assert_array_equal(X[5:], X0[5:])
     assert not np.allclose(X[:5], X0[:5])
+
+
+def test_nnls_sweep_instrumentation(rng):
+    """return_sweeps reports per-column CD sweep counts without changing
+    the solution (honest FLOP accounting for bench.py)."""
+    from singlet_tpu.ops.nnls import nnls_batch
+
+    k, n = 6, 32
+    a = np.eye(k) + 0.1 * rng.random((k, k))
+    a = (a + a.T) / 2 + k * np.eye(k)
+    B = rng.random((n, k)).astype(np.float32)
+    X0 = np.zeros((n, k), np.float32)
+    X_plain = nnls_batch(jnp.asarray(a, jnp.float32), jnp.asarray(B),
+                         jnp.asarray(X0))
+    X, sweeps = nnls_batch(jnp.asarray(a, jnp.float32), jnp.asarray(B),
+                           jnp.asarray(X0), return_sweeps=True)
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(X_plain))
+    sweeps = np.asarray(sweeps)
+    assert sweeps.shape == (n,)
+    assert (sweeps >= 1).all() and (sweeps <= 100).all()
+    # an empty (masked-out) column runs zero sweeps
+    mask = np.ones(n, bool)
+    mask[3] = False
+    _, sw2 = nnls_batch(jnp.asarray(a, jnp.float32), jnp.asarray(B),
+                        jnp.asarray(X0), update_mask=jnp.asarray(mask),
+                        return_sweeps=True)
+    assert np.asarray(sw2)[3] == 0
