@@ -21,7 +21,8 @@ Reference parity map: see SURVEY.md at the repo root. Citations of the form
 
 from singlet_tpu.checkpoint import CheckpointManager
 from singlet_tpu.config import NMFConfig
-from singlet_tpu.data import CellDataset, load_pbmc3k, read_10x_mtx, read_h5ad
+from singlet_tpu.data import (CellDataset, load_pbmc3k, read_10x_mtx,
+                              read_h5ad, read_seurat_rds)
 from singlet_tpu.experiment import Experiment
 from singlet_tpu.model import NMFModel
 from singlet_tpu.tracing import MetricLogger, metric_logging, profile
@@ -52,6 +53,7 @@ __all__ = [
     "load_pbmc3k",
     "read_10x_mtx",
     "read_h5ad",
+    "read_seurat_rds",
     "CheckpointManager",
     "MetricLogger",
     "metric_logging",

@@ -89,6 +89,38 @@ def read_10x_mtx(directory: str) -> CellDataset:
     return CellDataset(counts=mat, gene_names=genes, cell_names=cells, meta={})
 
 
+def read_seurat_rds(path: str) -> CellDataset:
+    """Read a Seurat object (or bare dgCMatrix) from an .rds file.
+
+    The input surface of the reference's ``cellxgene_pipeline``
+    (reference:R/cellxgene_pipeline.R:19-21: readRDS -> RNA assay counts).
+    Parsed by the from-scratch R serialization reader (sparse/rdata.py):
+    Seurat S4 -> active assay counts dgCMatrix + meta.data columns.
+    """
+    from singlet_tpu.sparse.rdata import (dgcmatrix_to_csc, r_class,
+                                          read_rds, seurat_to_parts)
+
+    obj = read_rds(path)
+    cls = r_class(obj)
+    if "Seurat" in cls:
+        M, genes, cells, meta = seurat_to_parts(obj)
+    elif "dgCMatrix" in cls:
+        M, genes, cells = dgcmatrix_to_csc(obj)
+        meta = {}
+    else:
+        raise ValueError(
+            f".rds object of class {cls or ['?']} is not a Seurat object "
+            "or dgCMatrix")
+    return CellDataset(
+        counts=sp.csc_matrix(M.astype(np.float32)),
+        gene_names=genes if genes is not None
+        else [f"gene{i}" for i in range(M.shape[0])],
+        cell_names=cells if cells is not None
+        else [f"cell{i}" for i in range(M.shape[1])],
+        meta=meta,
+    )
+
+
 def read_h5ad(path: str) -> CellDataset:
     """Read an AnnData .h5ad file (via h5py; anndata not required).
 

@@ -30,8 +30,12 @@ def load_any(path: str):
         return D.read_10x_mtx(str(p))
     if p.suffix == ".h5ad":
         return D.read_h5ad(str(p))
-    raise ValueError(f"unrecognized input {path!r} (expected .h5ad, a 10x "
-                     "directory, or 'pbmc3k')")
+    if p.suffix.lower() in (".rds", ".rdata"):
+        # the reference pipeline's native input: a Seurat RDS
+        # (reference:R/cellxgene_pipeline.R:19-21)
+        return D.read_seurat_rds(str(p))
+    raise ValueError(f"unrecognized input {path!r} (expected .h5ad, .rds, "
+                     "a 10x directory, or 'pbmc3k')")
 
 
 def cellxgene_pipeline(input_path: str, out: str | None = None,

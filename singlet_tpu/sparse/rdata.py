@@ -1,14 +1,18 @@
-"""Minimal reader for R's serialization format (RData / RDS, version 2/3).
+"""Reader for R's serialization format (RData / RDS, version 2/3).
 
-Just enough of the grammar to load the reference's bundled pbmc3k dataset
-(reference:data/pbmc3k.RData; structure per reference:R/get_pbmc3k_data.R:14-20:
-a named list with dgCMatrix slots i/p/Dim/Dimnames, an rle-compressed x, and a
-cell_type factor). No R installation or third-party reader is available in
-this environment, so this is implemented from the public serialization
-grammar: big-endian XDR, 4-byte flag words (sexptype | levels<<12 | attr/tag
-bits), typed vector payloads, pairlist attributes, reference table for
-symbols/environments, and the ALTREP compact-intseq wrapper R >= 3.5 uses for
-1:n sequences.
+Covers the grammar needed for the reference's input surface: the bundled
+pbmc3k dataset (reference:data/pbmc3k.RData; a named list with dgCMatrix
+slots i/p/Dim/Dimnames, an rle-compressed x, and a cell_type factor,
+reference:R/get_pbmc3k_data.R:14-20) and Seurat RDS objects — S4 objects
+with attribute pairlists — as consumed by ``cellxgene_pipeline``
+(reference:R/cellxgene_pipeline.R:19-21): ``seurat_to_parts`` extracts the
+active assay's counts dgCMatrix (classic Assay slots or Assay5 layers) and
+the meta.data data.frame. No R installation or third-party reader is
+available in this environment, so this is implemented from the public
+serialization grammar: big-endian XDR, 4-byte flag words (sexptype |
+levels<<12 | attr/tag bits), typed vector payloads, pairlist attributes,
+reference table for symbols/environments, and the ALTREP compact-intseq
+wrapper R >= 3.5 uses for 1:n sequences.
 """
 
 from __future__ import annotations
@@ -286,6 +290,101 @@ def read_rdata(path: str) -> Dict[str, Any]:
         out[name] = car
         node = cdr
     return out
+
+
+def r_class(obj) -> List[str]:
+    """The R class attribute as a list of strings ([] if absent)."""
+    if not isinstance(obj, RObj):
+        return []
+    c = obj.attrs.get("class")
+    if c is None:
+        return []
+    vals = c.value if isinstance(c, RObj) else c
+    return [str(v) for v in vals]
+
+
+def dgcmatrix_to_csc(obj):
+    """Matrix-package dgCMatrix S4 -> (scipy CSC, rownames, colnames)."""
+    import scipy.sparse as sp
+
+    a = obj.attrs
+    i = np.asarray(a["i"].value, np.int32)
+    p = np.asarray(a["p"].value, np.int64)
+    dim = tuple(int(v) for v in a["Dim"].value)
+    x = np.asarray(a["x"].value, np.float64)
+    M = sp.csc_matrix((x, i, p), shape=dim)
+    rownames = colnames = None
+    dn = a.get("Dimnames")
+    if isinstance(dn, RObj) and dn.type == "list":
+        rn, cn = dn.value
+        if isinstance(rn, RObj):
+            rownames = [str(s) for s in rn.value]
+        if isinstance(cn, RObj):
+            colnames = [str(s) for s in cn.value]
+    return M, rownames, colnames
+
+
+def _named_get(robj, name):
+    """Element of a named R list by name (None if absent)."""
+    names = robj.names if isinstance(robj, RObj) else None
+    if names is None or name not in names:
+        return None
+    return robj.value[names.index(name)]
+
+
+def _assay_counts(assay):
+    """The counts (falling back to data) dgCMatrix of a Seurat Assay.
+
+    Handles the classic ``Assay`` (counts/data slots,
+    reference:R/cellxgene_pipeline.R:19-21 reads these via
+    ``CreateSeuratObject``-produced objects) and the v5 ``Assay5`` whose
+    matrices live in a named ``layers`` list."""
+    aa = assay.attrs
+    for slot in ("counts", "data"):
+        m = aa.get(slot)
+        if isinstance(m, RObj) and "dgCMatrix" in r_class(m) \
+                and m.attrs.get("x") is not None and len(m.attrs["x"].value):
+            return m
+    layers = aa.get("layers")
+    if isinstance(layers, RObj):
+        for slot in ("counts", "data"):
+            m = _named_get(layers, slot)
+            if isinstance(m, RObj) and "dgCMatrix" in r_class(m):
+                return m
+    raise ValueError("Seurat assay has no non-empty counts/data dgCMatrix")
+
+
+def seurat_to_parts(obj):
+    """Seurat S4 object -> (counts CSC, gene_names, cell_names, meta dict).
+
+    Reads the active assay's counts (the input surface of the reference's
+    ``cellxgene_pipeline``, reference:R/cellxgene_pipeline.R:19-21: RDS ->
+    keep RNA assay -> preprocess) and the ``meta.data`` data.frame.
+    """
+    if "Seurat" not in r_class(obj):
+        raise ValueError(f"not a Seurat object (class {r_class(obj)})")
+    a = obj.attrs
+    assays = a["assays"]
+    active = a.get("active.assay")
+    name = None
+    if isinstance(active, RObj) and active.value:
+        name = str(active.value[0])
+    assay = _named_get(assays, name) if name else None
+    if assay is None:
+        assay = _named_get(assays, "RNA") or assays.value[0]
+    M, genes, cells = dgcmatrix_to_csc(_assay_counts(assay))
+
+    meta = {}
+    md = a.get("meta.data")
+    if isinstance(md, RObj) and md.type == "list":
+        conv = r_to_python(md)
+        if isinstance(conv, dict):
+            meta = {k: np.asarray(v) for k, v in conv.items()}
+        if cells is None:
+            rn = md.attrs.get("row.names")
+            if isinstance(rn, RObj) and rn.type == "character":
+                cells = [str(s) for s in rn.value]
+    return M, genes, cells, meta
 
 
 def r_to_python(obj):
