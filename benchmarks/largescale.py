@@ -147,6 +147,7 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--maxit", type=int, default=10)
     ap.add_argument("--masked", action="store_true")
+    ap.add_argument("--cell-block", type=int, default=2048)
     args = ap.parse_args()
 
     import jax
@@ -156,7 +157,8 @@ def main():
     from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
 
     t0 = time.perf_counter()
-    data = build_sharded_ell_synth(args.genes, args.cells, args.nnz)
+    data = build_sharded_ell_synth(args.genes, args.cells, args.nnz,
+                                   cell_block=args.cell_block)
     jax.block_until_ready(data.b_val)
     gen_s = time.perf_counter() - t0
 
