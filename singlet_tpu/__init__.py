@@ -44,6 +44,33 @@ from singlet_tpu.solvers.gcnmf import (
 )
 from singlet_tpu.solvers.mu import mu_nmf
 from singlet_tpu.solvers.batch import nmf_batch
+from singlet_tpu.annotate import annotate_nmf
+from singlet_tpu.gsea import read_gmt, run_gsea
+from singlet_tpu.plots import (
+    annotation_plot,
+    gsea_heatmap,
+    metadata_heatmap,
+    metadata_plot,
+    plot_factor_weights,
+    rank_plot,
+)
+from singlet_tpu.preprocess import (
+    log_normalize,
+    normit,
+    rasterize_rowwise,
+    weight_by_split,
+)
+from singlet_tpu.summary import (
+    get_shared_factors,
+    get_unique_factors,
+    metadata_summary,
+)
+from singlet_tpu.graphs.spatial import (
+    local_knn,
+    rescale_spatial,
+    snn_graph,
+    spatial_graph,
+)
 
 __version__ = "0.1.0"
 
@@ -75,5 +102,32 @@ __all__ = [
     "nmf_batch",
     "differentiate_model",
     "assign_cells_to_edge_clusters",
+    # downstream analytics (AnnotateNMF / RunGSEA surface)
+    "annotate_nmf",
+    "run_gsea",
+    "read_gmt",
+    # plots (RankPlot / AnnotationPlot / Metadata* / GSEAHeatmap /
+    # plotFactorWeights surface)
+    "rank_plot",
+    "annotation_plot",
+    "metadata_plot",
+    "metadata_heatmap",
+    "gsea_heatmap",
+    "plot_factor_weights",
+    # preprocessing (PreprocessData / weight_by_split / RasterizeRowwise /
+    # normit surface)
+    "log_normalize",
+    "weight_by_split",
+    "rasterize_rowwise",
+    "normit",
+    # summaries (MetadataSummary / GetShared/UniqueFactors surface)
+    "metadata_summary",
+    "get_shared_factors",
+    "get_unique_factors",
+    # spatial graphs (FindLocalNeighbors / RescaleSpatial surface)
+    "local_knn",
+    "snn_graph",
+    "spatial_graph",
+    "rescale_spatial",
     "__version__",
 ]

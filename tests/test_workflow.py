@@ -246,6 +246,16 @@ def test_package_exports_complete():
                  "run_linked_nmf", "project_model", "gcnmf", "mu_nmf",
                  "nmf_batch", "differentiate_model",
                  "assign_cells_to_edge_clusters", "NMFConfig", "Experiment",
-                 "NMFModel", "load_pbmc3k"]:
+                 "NMFModel", "load_pbmc3k",
+                 # the full NAMESPACE-equivalent surface (reference
+                 # NAMESPACE:26-57): annotation, GSEA, plots, preprocessing,
+                 # summaries, spatial graphs, IO
+                 "annotate_nmf", "run_gsea", "read_gmt", "rank_plot",
+                 "annotation_plot", "metadata_plot", "metadata_heatmap",
+                 "gsea_heatmap", "plot_factor_weights", "log_normalize",
+                 "weight_by_split", "rasterize_rowwise", "normit",
+                 "metadata_summary", "get_shared_factors",
+                 "get_unique_factors", "local_knn", "snn_graph",
+                 "spatial_graph", "rescale_spatial", "read_seurat_rds"]:
         assert hasattr(st, name), name
         assert name in st.__all__ or name == "load_pbmc3k", name
