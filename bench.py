@@ -38,7 +38,6 @@ def main():
     from singlet_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    from singlet_tpu.solvers.als import als_step
     from singlet_tpu.sparse.matrix import DenseMatrix
 
     genes, cells, k, density = 16384, 8192, 50, 0.07
@@ -69,17 +68,27 @@ def main():
     l1 = jnp.float32(0.01)
     l2 = jnp.float32(0.0)
 
-    # warmup: compile + 2 iterations (also moves past cold-start transients)
-    for _ in range(2):
-        W, H, d, tol = als_step(Ap, Atp, W, H, l1, l1, l2, l2, None, None)
-    jax.block_until_ready((W, H))
+    # The timed path is the fused device loop (ONE dispatch per fit, the
+    # production path of nmf_fit) synced by a scalar fetch of the on-device
+    # iteration counter — block_until_ready is unreliable through the
+    # tunneled platform, a scalar fetch is a real sync. Warmup runs the
+    # same program once (compile + cold-start transients).
+    from singlet_tpu.solvers.als import _fit_loop_device
 
     iters = 10
+
+    def run_loop(Wi, Hi, n):
+        Wn, Hn, dn, n_it, tols = _fit_loop_device(
+            Ap, Atp, Wi, Hi, l1, l1, l2, l2, None, None,
+            jnp.float32(0.0), n)
+        assert int(n_it) == n
+        return Wn, Hn, dn, tols
+
+    run_loop(W, H, iters)                  # compile + warm (same program)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        W, H, d, tol = als_step(Ap, Atp, W, H, l1, l1, l2, l2, None, None)
-    jax.block_until_ready((W, H))
+    W, H, d, tols = run_loop(W, H, iters)  # scalar-synced inside
     secs = time.perf_counter() - t0
+    tol = tols[iters - 1]
 
     ips = iters / secs
     cells_per_s = ips * cells

@@ -167,19 +167,52 @@ def main():
     n_gb = args.genes // data.gene_block
     nnz_cell = (args.nnz // n_gb) * n_gb
 
-    # fused loop in chunks of 5 iterations per device call: amortizes the
-    # tunneled relay's per-call argument overhead (~7 s on 3.4 GB planes)
-    # while staying under its single-execution deadline
-    # plain iterations are ~2 s — 10 per call stays well under the relay's
-    # single-execution deadline; masked iterations are several-x heavier
-    chunk = 5 if args.masked else min(args.maxit, 10)
-    eng.fit(args.k, tol=0.0, maxit=chunk, masked=args.masked,
-            inv_density=20, chunk_iters=chunk)      # compile + warm
+    # Timing methodology (round 3): time the fused device loop directly at a
+    # scalar sync (the n_iter fetch — block_until_ready does not wait on the
+    # tunneled platform). Per-call overhead measured negligible (~0.03 s,
+    # zero-budget probe). The one-time model download (h is 210 MB at this
+    # shape; several seconds through the ~30-50 MB/s tunnel) is reported
+    # separately as model_fetch_s — it amortizes to zero over a real fit's
+    # ~100 iterations and was previously inflating per-iteration cost by
+    # ~2x at maxit=10.
+    chunk = 8 if args.masked else min(args.maxit, 10)
+    import jax.numpy as jnp
+
+    from singlet_tpu.ops.rngmask import seed_pair
+
+    W, H, eargs, _ = eng._state(args.k, None, 0)
+    loop = eng.fit_loop(20, chunk, bool(args.masked))
+    f32 = jnp.float32
+    sp_ = seed_pair(0)
+
+    def run(budget):
+        if args.masked:
+            out = loop(*eargs, W, H, sp_, f32(0.01), f32(0.01), f32(0.0),
+                       f32(0.0), jnp.int32(args.k), f32(0.0),
+                       jnp.int32(budget))
+        else:
+            out = loop(*eargs, W, H, f32(0.01), f32(0.01), f32(0.0),
+                       f32(0.0), f32(0.0), jnp.int32(budget))
+        int(out[3])            # scalar fetch = real device sync
+        return out
+
+    run(min(2, chunk))         # compile + warm
     t0 = time.perf_counter()
-    out = eng.fit(args.k, tol=0.0, maxit=args.maxit, masked=args.masked,
-                  inv_density=20, chunk_iters=chunk)
+    done = 0
+    while done < args.maxit:
+        b = min(chunk, args.maxit - done)
+        Wn, Hn, dn, n_it, tols = run(b)
+        W, H = Wn, Hn
+        done += int(n_it)
     secs = time.perf_counter() - t0
     ips = args.maxit / secs
+
+    t0 = time.perf_counter()
+    out = {"w": np.asarray(W[: data.genes_true]),
+           "d": np.asarray(dn),
+           "h": np.asarray(H[: data.cells_true]).T,
+           "tol_trace": [float(t) for t in np.asarray(tols[: int(n_it)])]}
+    fetch_s = time.perf_counter() - t0
 
     mem = {}
     try:
@@ -199,6 +232,7 @@ def main():
         "gen_seconds": round(gen_s, 1),
         "iters_per_s": round(ips, 3),
         "cells_per_s": round(ips * args.cells, 1),
+        "model_fetch_s": round(fetch_s, 2),
         "final_tol": float(out["tol_trace"][-1]),
         "device": str(jax.devices()[0]),
         **mem,
