@@ -402,3 +402,37 @@ def test_sharded_project_matches_dense(rng, mesh8):
     # sparse single-chip provider path (no mesh, no densify)
     h_s, d_s = project_model(A, W, L1=0.01)
     np.testing.assert_allclose(h_s, h_d, rtol=3e-4, atol=3e-5)
+
+
+def test_linked_masked_rejected_and_validation(rng, mesh8):
+    """Links are a plain-fit feature (the reference's masked ARD takes no
+    link matrices); shape validation fails loudly."""
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    A = _sparse(rng)
+    eng = ShardedEllEngine(A, mesh=mesh8)
+    k = 3
+    lh = np.ones((A.shape[1], k), np.float32)
+    with pytest.raises(ValueError, match="masked"):
+        eng.fit(k, maxit=1, masked=True, link_h=lh)
+    with pytest.raises(ValueError, match="link_h"):
+        eng.fit(k, maxit=1, link_h=np.ones((5, k), np.float32))
+    with pytest.raises(ValueError, match="link_w"):
+        eng.fit(k, maxit=1, link_h=lh,
+                link_w=np.ones((A.shape[0] + 1, k), np.float32))
+
+
+def test_engine_project_transposed_w(rng, mesh8):
+    """project accepts w as (genes, k) or (k, genes) like the reference's
+    transpose check (reference:src/singlet.cpp:406)."""
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    A = _sparse(rng)
+    eng = ShardedEllEngine(A, mesh=mesh8)
+    W = rng.random((A.shape[0], 4)).astype(np.float32)
+    h1, d1 = eng.project(W)
+    h2, d2 = eng.project(W.T)
+    np.testing.assert_allclose(h1, h2)
+    np.testing.assert_allclose(d1, d2)
+    with pytest.raises(ValueError, match="common edge"):
+        eng.project(rng.random((7, 9)).astype(np.float32))
