@@ -456,7 +456,15 @@ def _bell_tile(li, lv, gene_block: int):
     (block, gene_block) tile, as a statically-unrolled chain of
     multiply-compare-sum FMAs: XLA fuses the whole chain into ONE VPU
     kernel with no gather/scatter and no 3D intermediate (pad entries have
-    li = -1 / val = 0, so they contribute exactly zero)."""
+    li = -1 / val = 0, so they contribute exactly zero).
+
+    Compile-time note: traced HLO size scales with n_gb * width (the fused
+    single-pass step builds each tile once). Measured at production widths
+    (n_gb=32, width=40, maxit=100 masked loop): 5.4 s trace + 28 s XLA
+    compile on CPU — acceptable; if a dataset with an anomalously wide
+    plane regresses this, switch the unroll to a
+    ``(li[:, :, None] == iota)``-style one-shot compare-and-reduce (same
+    math, one op, a (block, width, gene_block) intermediate XLA fuses)."""
     iota = jnp.arange(gene_block, dtype=li.dtype)[None, :]
     tile = jnp.zeros((li.shape[0], gene_block), lv.dtype)
     for w in range(li.shape[1]):
@@ -1032,6 +1040,15 @@ class ShardedEllEngine:
                 jax.device_put(lw, NamedSharding(self.mesh, P(None, None))),
             )
 
+        from singlet_tpu.tracing import get_metric_logger
+
+        logger = get_metric_logger()
+        fit_id = logger.new_fit_id("sharded_ell")
+        logger.log("fit_start", fit=fit_id, algo="sharded_ell_fit", k=k,
+                   genes=int(self.data.genes_true),
+                   cells=int(self.data.cells_true),
+                   n_devices=int(self.mesh.devices.size),
+                   masked=bool(masked), linked=bool(linked), maxit=maxit)
         mgr = resolve_manager(checkpoint)
         traces = []
         it = 0
@@ -1107,6 +1124,10 @@ class ShardedEllEngine:
                         ckpt_config, W=np.asarray(W), H=np.asarray(H),
                         d=np.asarray(d), tol_trace=traces))
 
+        for i, t in enumerate(traces):
+            logger.log("iteration", fit=fit_id, iter=i + 1, tol=t)
+        logger.log("fit_end", fit=fit_id, n_iter=len(traces),
+                   tol=traces[-1] if traces else None)
         out = dict(
             w=np.asarray(W[: self.data.genes_true]),
             d=np.asarray(d),
