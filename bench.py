@@ -104,7 +104,9 @@ def main():
     from singlet_tpu.ops.nnls import nnls_batch
 
     @jax.jit
-    def inst_step(W, H):
+    def inst_step(Ap, Atp, W, H):   # operands as args, NOT closures — a
+        # closed-over 512 MB constant would be embedded in the compile
+        # request (the tunneled remote-compile service rejects it)
         a = gram(W)
         B = Ap.t_matmul(W)
         H2, sw_h = nnls_batch(a, B, H, L1=l1, L2=l2,
@@ -121,7 +123,7 @@ def main():
     Wi, Hi = W0, H0
     sw_h_t, sw_w_t = [], []
     for it in range(2 + iters):
-        Wi, Hi, sh, sw = inst_step(Wi, Hi)
+        Wi, Hi, sh, sw = inst_step(Ap, Atp, Wi, Hi)
         if it >= 2:                       # match the timed iterations
             sw_h_t.append(float(sh))
             sw_w_t.append(float(sw))
