@@ -1,7 +1,7 @@
 """Microbenchmark ELL->MXU strategies for the large-scale SpMM pass.
 
 The fused ELL fit spends ~97% of each iteration in the scatter-add densify
-(profile_largescale.py: 4.4 s per pass vs 0.07 s matmul). Candidates, all
+(measured 4.4 s per pass vs 0.07 s matmul; see BASELINE.md). Candidates, all
 timed on 16 cell blocks of the real operand shape (2048 cells x 16384
 genes, 824 nnz/cell, k=128) and reported scaled to a full 256-block pass:
 
