@@ -259,6 +259,22 @@ def svc_write(path: str, A: sp.csc_matrix,
         raise IOError(lib.singlet_last_error().decode())
 
 
+def svc_shape(path: str):
+    """(rows, cols, nnz) of an SVC shard from its header — no data read."""
+    lib = _load_with("singlet_svc_read_header")
+    if lib is None:
+        M = svc_read(path)
+        return M.shape[0], M.shape[1], M.nnz
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.singlet_svc_read_header(path.encode(), ctypes.byref(rows),
+                                     ctypes.byref(cols), ctypes.byref(nnz))
+    if rc != 0:
+        raise IOError(lib.singlet_last_error().decode())
+    return rows.value, cols.value, nnz.value
+
+
 def svc_read(path: str) -> sp.csc_matrix:
     lib = _load()
     if lib is None:

@@ -336,39 +336,40 @@ def shard_ell_from_chunks(chunks, mesh: Mesh, cell_block: int = 2048,
     loader callables) into mesh-sharded blocked-ELL planes WITHOUT ever
     materializing the concatenated matrix on the host.
 
-    Two passes: (1) shapes + the global plane width (path/callable chunks
-    are loaded twice — the streaming trade; in-memory chunks are free),
-    (2) each chunk overlapping this process's owned cell range is sliced
-    and packed directly into its plane offset. The multi-host twin of the
-    reference's chunked sparse-list mode (reference:src/singlet.cpp:384-402)
-    without its full-matrix staging.
+    Three streaming passes, none of which loads a chunk this process does
+    not own: (1) shapes — SVC paths read only their header, other sources
+    are loaded (in-memory chunks are free; path/callable chunks this
+    process owns are loaded again in later passes — the streaming trade);
+    (2) the plane width from the OWNED chunk slices, agreed across hosts
+    with one allgather; (3) each owned slice packed directly into its
+    plane offset. The multi-host twin of the reference's chunked
+    sparse-list mode (reference:src/singlet.cpp:384-402) without its
+    full-matrix staging.
     """
+    from singlet_tpu import native
     from singlet_tpu.sparse.chunked import _load_chunk
 
-    # pass 1: geometry + global width (width needs only genes, not cells)
+    # pass 1: shapes only (header fast-path for .svc shards)
     genes = None
     cols_of = []
-    wmax = 0
     nnz_total = 0
     for c in chunks:
-        M = _load_chunk(c)
+        if isinstance(c, str) and c.endswith(".svc"):
+            r, cc, nz = native.svc_shape(c)
+        else:
+            M = _load_chunk(c)
+            r, cc, nz = M.shape[0], M.shape[1], M.nnz
+            del M
         if genes is None:
-            genes = M.shape[0]
-            gb = min(gene_block, _round_up(genes, 256))
-            n_gb = _round_up(genes, gb) // gb
-        elif M.shape[0] != genes:
+            genes = r
+        elif r != genes:
             raise ValueError("chunks disagree on the gene axis")
-        cols_of.append(M.shape[1])
-        nnz_total += M.nnz
-        wmax = max(wmax, int(bell_widths(M, n_gb, gb).max(initial=0)))
-        del M
+        cols_of.append(cc)
+        nnz_total += nz
     cells_true = int(sum(cols_of))
     genes_pad, cells_pad, cell_block, gene_block = ell_geometry(
         genes, cells_true, mesh, cell_block, gene_block)
     n_gb = genes_pad // gene_block
-    (wmax,) = _allgather_max((wmax,))
-    width = bell_width(np.asarray([wmax]))
-    _log_bell_ingest(width, nnz_total, cells_true, n_gb, cells_pad)
 
     n_dev = mesh.devices.size
     pid = jax.process_index()
@@ -378,23 +379,39 @@ def shard_ell_from_chunks(chunks, mesh: Mesh, cell_block: int = 2048,
     stop = (pid + 1) * per_proc * cells_local
     local_cells = per_proc * cells_local
 
-    # pass 2: pack overlapping chunk slices straight into the local planes
+    def _owned_slices():
+        off = 0
+        for c, w in zip(chunks, cols_of):
+            lo, hi = max(start, off), min(stop, off + w)
+            if lo < hi:
+                yield c, off, lo, hi
+            off += w
+
+    # pass 2: plane width from owned slices; one allgather agrees the
+    # global layout (every process sees the max over ALL cells)
+    wmax = 0
+    for c, off, lo, hi in _owned_slices():
+        M = sp.csc_matrix(_load_chunk(c)[:, lo - off: hi - off])
+        wmax = max(wmax, int(bell_widths(M, n_gb, gene_block)
+                             .max(initial=0)))
+        del M
+    (wmax,) = _allgather_max((wmax,))
+    width = bell_width(np.asarray([wmax]))
+    _log_bell_ingest(width, nnz_total, cells_true, n_gb, cells_pad)
+
+    # pass 3: pack owned chunk slices straight into the local planes
     b_li = np.full((n_gb, local_cells, width), -1, np.int32)
     b_val = np.zeros((n_gb, local_cells, width), np.float32)
     ne_loc = np.zeros(local_cells, bool)
     gene_present = np.zeros(genes, bool)
-    off = 0
-    for c, w in zip(chunks, cols_of):
-        lo, hi = max(start, off), min(stop, off + w)
-        if lo < hi:
-            M = sp.csc_matrix(_load_chunk(c)[:, lo - off: hi - off])
-            li, lv = _pack_bell(M, hi - lo, gene_block, n_gb, width)
-            b_li[:, lo - start: hi - start, :] = li
-            b_val[:, lo - start: hi - start, :] = lv
-            ne_loc[lo - start: hi - start] = np.diff(M.indptr) > 0
-            gene_present[np.unique(M.indices)] = True
-            del M
-        off += w
+    for c, off, lo, hi in _owned_slices():
+        M = sp.csc_matrix(_load_chunk(c)[:, lo - off: hi - off])
+        li, lv = _pack_bell(M, hi - lo, gene_block, n_gb, width)
+        b_li[:, lo - start: hi - start, :] = li
+        b_val[:, lo - start: hi - start, :] = lv
+        ne_loc[lo - start: hi - start] = np.diff(M.indptr) > 0
+        gene_present[np.unique(M.indices)] = True
+        del M
 
     return _assemble_from_local_planes(
         b_li, b_val, ne_loc, gene_present, genes, cells_true, mesh,
