@@ -147,6 +147,10 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--maxit", type=int, default=10)
     ap.add_argument("--masked", action="store_true")
+    ap.add_argument("--ard", action="store_true",
+                    help="the full rank-search fit: masked steps + per-"
+                         "iteration held-out MSE traces + overfit early "
+                         "stop, as one fused device program (ard_loop)")
     ap.add_argument("--cell-block", type=int, default=2048)
     args = ap.parse_args()
 
@@ -181,31 +185,51 @@ def main():
     from singlet_tpu.ops.rngmask import seed_pair
 
     W, H, eargs, _ = eng._state(args.k, None, 0)
-    loop = eng.fit_loop(20, chunk, bool(args.masked))
     f32 = jnp.float32
     sp_ = seed_pair(0)
 
-    def run(budget):
-        if args.masked:
-            out = loop(*eargs, W, H, sp_, f32(0.01), f32(0.01), f32(0.0),
-                       f32(0.0), jnp.int32(args.k), f32(0.0),
-                       jnp.int32(budget))
-        else:
-            out = loop(*eargs, W, H, f32(0.01), f32(0.01), f32(0.0),
-                       f32(0.0), f32(0.0), jnp.int32(budget))
-        int(out[3])            # scalar fetch = real device sync
-        return out
+    if args.ard:
+        # the full rank-search fit program: masked steps + held-out MSE
+        # trace every iteration + overfit early stop, one device program
+        loop = eng.ard_loop(20, int(args.maxit), 1, int(args.maxit) + 1)
 
-    run(min(2, chunk))         # compile + warm
-    t0 = time.perf_counter()
-    done = 0
-    while done < args.maxit:
-        b = min(chunk, args.maxit - done)
-        Wn, Hn, dn, n_it, tols = run(b)
+        def run_ard():
+            out = loop(*eargs, W, H, sp_, f32(0.01), f32(0.0),
+                       jnp.int32(args.k), f32(0.0), f32(jnp.inf))
+            int(out[3])
+            return out
+
+        run_ard()              # compile + warm (full maxit)
+        t0 = time.perf_counter()
+        out_a = run_ard()
+        secs = time.perf_counter() - t0
+        Wn, Hn, dn, tols = out_a[0], out_a[1], out_a[2], out_a[9]
+        n_it = out_a[3]
         W, H = Wn, Hn
-        done += int(n_it)
-    secs = time.perf_counter() - t0
-    ips = args.maxit / secs
+    else:
+        loop = eng.fit_loop(20, chunk, bool(args.masked))
+
+        def run(budget):
+            if args.masked:
+                out = loop(*eargs, W, H, sp_, f32(0.01), f32(0.01), f32(0.0),
+                           f32(0.0), jnp.int32(args.k), f32(0.0),
+                           jnp.int32(budget))
+            else:
+                out = loop(*eargs, W, H, f32(0.01), f32(0.01), f32(0.0),
+                           f32(0.0), f32(0.0), jnp.int32(budget))
+            int(out[3])            # scalar fetch = real device sync
+            return out
+
+        run(min(2, chunk))         # compile + warm
+        t0 = time.perf_counter()
+        done = 0
+        while done < args.maxit:
+            b = min(chunk, args.maxit - done)
+            Wn, Hn, dn, n_it, tols = run(b)
+            W, H = Wn, Hn
+            done += int(n_it)
+        secs = time.perf_counter() - t0
+    ips = int(n_it if args.ard else args.maxit) / secs
 
     t0 = time.perf_counter()
     out = {"w": np.asarray(W[: data.genes_true]),
@@ -223,11 +247,12 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": "largescale_ell_fit",
+        "metric": ("largescale_ell_ard" if args.ard
+                   else "largescale_ell_fit"),
         "cells": args.cells, "genes": args.genes, "k": args.k,
         "nnz_per_cell": nnz_cell,
         "density": round(nnz_cell / args.genes, 4),
-        "masked": bool(args.masked),
+        "masked": bool(args.masked or args.ard),
         "plane_gib": round(plane_bytes / 2**30, 2),
         "gen_seconds": round(gen_s, 1),
         "iters_per_s": round(ips, 3),

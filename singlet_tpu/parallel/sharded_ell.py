@@ -44,7 +44,6 @@ reference:R/ard_nmf.R:57-70) with true cross-chip sharding.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Optional, Tuple, Union
 
 import jax
