@@ -45,7 +45,7 @@ from singlet_tpu.solvers.gcnmf import (
 from singlet_tpu.solvers.mu import mu_nmf
 from singlet_tpu.solvers.batch import nmf_batch
 from singlet_tpu.annotate import annotate_nmf
-from singlet_tpu.gsea import read_gmt, run_gsea
+from singlet_tpu.gsea import msigdb_gene_sets, read_gmt, run_gsea
 from singlet_tpu.plots import (
     annotation_plot,
     gsea_heatmap,
@@ -106,6 +106,7 @@ __all__ = [
     "annotate_nmf",
     "run_gsea",
     "read_gmt",
+    "msigdb_gene_sets",
     # plots (RankPlot / AnnotationPlot / Metadata* / GSEAHeatmap /
     # plotFactorWeights surface)
     "rank_plot",

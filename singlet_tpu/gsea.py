@@ -34,6 +34,79 @@ import numpy as np
 import pandas as pd
 
 
+def msigdb_gene_sets(category: Optional[str] = None,
+                     subcategory: Optional[str] = None,
+                     species: Optional[str] = None,
+                     path: Optional[str] = None,
+                     id_col: str = "gene_symbol") -> Dict[str, List[str]]:
+    """Load an msigdbr-style gene-set catalog from a LOCAL staging file.
+
+    The reference fetches MSigDB collections over the network at call time
+    via the msigdbr package and filters them by species/category
+    (reference:R/RunGSEA.R:46-57). This build runs with zero egress, so the
+    catalog must be staged locally ONCE — e.g. in R,
+    ``write.csv(msigdbr::msigdbr("Homo sapiens"), "msigdb.csv")`` — and
+    pointed at via ``path`` or the ``SINGLET_TPU_MSIGDB`` environment
+    variable. Accepted formats:
+
+      * CSV/TSV with msigdbr's columns: ``gs_name`` + the ``id_col``
+        (default ``gene_symbol``, matching the reference's ``ID`` argument),
+        optionally ``gs_cat``/``gs_collection``, ``gs_subcat``/
+        ``gs_subcollection`` for filtering;
+      * a ``.gmt`` file, or a directory of ``.gmt`` files (category/
+        subcategory filters then match against file stems).
+
+    Returns {gs_name: [genes...]}, the shape ``run_gsea`` consumes.
+    """
+    import os
+
+    path = path or os.environ.get("SINGLET_TPU_MSIGDB")
+    if not path:
+        raise ValueError(
+            "no local MSigDB catalog configured: the reference pulls gene "
+            "sets from the network via msigdbr (reference:R/RunGSEA.R:46), "
+            "which a zero-egress build cannot; stage a catalog file and "
+            "pass path= or set SINGLET_TPU_MSIGDB (see msigdb_gene_sets "
+            "docstring for accepted formats)")
+    if os.path.isdir(path):
+        out: Dict[str, List[str]] = {}
+        pats = [p for p in sorted(os.listdir(path)) if p.endswith(".gmt")]
+        for p in pats:
+            stem = p[:-4].lower()
+            if category and category.lower() not in stem:
+                continue
+            if subcategory and subcategory.lower() not in stem:
+                continue
+            out.update(read_gmt(os.path.join(path, p)))
+        return out
+    if path.endswith(".gmt"):
+        return read_gmt(path)
+
+    sep = "\t" if path.endswith((".tsv", ".txt")) else ","
+    df = pd.read_csv(path, sep=sep)
+    if "gs_name" not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"{path} lacks msigdbr columns 'gs_name' and '{id_col}' "
+            f"(has: {list(df.columns)[:8]}...)")
+
+    def _filter(col_names, value):
+        nonlocal df
+        if value is None:
+            return
+        for c in col_names:
+            if c in df.columns:
+                df = df[df[c].astype(str).str.fullmatch(value, case=False)]
+                return
+
+    _filter(("gs_cat", "gs_collection"), category)
+    _filter(("gs_subcat", "gs_subcollection"), subcategory)
+    _filter(("species_name", "gs_species"), species)
+    out = {}
+    for name, grp in df.groupby("gs_name"):
+        out[str(name)] = sorted(set(grp[id_col].astype(str)))
+    return out
+
+
 def read_gmt(path: str) -> Dict[str, List[str]]:
     """Load gene sets from a GMT file (name <tab> desc <tab> genes...)."""
     out: Dict[str, List[str]] = {}
@@ -299,13 +372,20 @@ def _ward_order(X: np.ndarray):
     return np.concatenate([full, rest])
 
 
-def run_gsea(model, gene_sets: Dict[str, Sequence[str]],
+def run_gsea(model, gene_sets,
              min_size: int = 10, max_size: int = 500, nperm: int = 1000,
              dims: Optional[Sequence[int]] = None, padj_sig: float = 0.01,
              score_type: str = "pos", verbose: bool = False, seed: int = 0,
              gsea_name: str = "gsea", method: str = "multilevel",
-             sample_size: int = 101, eps: float = 1e-10):
+             sample_size: int = 101, eps: float = 1e-10,
+             species: Optional[str] = None):
     """GSEA over every factor's loadings; store -log10 matrices in misc.
+
+    ``gene_sets`` may be a {name: [genes]} dict, a ``.gmt``/catalog file
+    path, or an MSigDB category name like the reference's ``category="C5"``
+    (resolved against the locally staged catalog — see
+    :func:`msigdb_gene_sets`; the reference fetches it from the network,
+    reference:R/RunGSEA.R:46-57).
 
     ``method="multilevel"`` (default) uses the adaptive multilevel split
     p-value estimator, matching the reference's ``fgseaMultilevel``
@@ -314,6 +394,15 @@ def run_gsea(model, gene_sets: Dict[str, Sequence[str]],
     DataFrames (pathways x factors), rows/cols ordered by Ward clustering
     of -log10(padj) (reference:R/RunGSEA.R:118-130).
     """
+    if isinstance(gene_sets, str):
+        import os
+
+        if os.path.exists(gene_sets):
+            gene_sets = (read_gmt(gene_sets) if gene_sets.endswith(".gmt")
+                         else msigdb_gene_sets(path=gene_sets,
+                                               species=species))
+        else:
+            gene_sets = msigdb_gene_sets(category=gene_sets, species=species)
     w = np.asarray(model.w)
     names = model.factor_names
     if model.gene_names is None:

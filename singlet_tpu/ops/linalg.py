@@ -124,14 +124,68 @@ def unpack_sym(packed: jnp.ndarray, k: int, iu) -> jnp.ndarray:
     and serializes (same pathology as the old ELL densify; see
     docs/ARCHITECTURE.md section 2). The (i, j) entry reads the packed
     position of its sorted pair, covering both triangles in one take."""
+    pos = _sym_pos(k, iu)
+    batch = packed.shape[:-1]
+    return jnp.take(packed, jnp.asarray(pos.reshape(-1)),
+                    axis=-1).reshape(batch + (k, k))
+
+
+def mask_dot(x: jnp.ndarray, y: jnp.ndarray,
+             transpose_x: bool = False) -> jnp.ndarray:
+    """Matmul for the masked packed-Gram products (the masked-CV hot spot):
+    ``x @ y``, or ``x.T @ y`` with ``transpose_x`` (expressed as contracting
+    dimensions so the transpose is never materialized).
+
+    When ``MASK_MM_PRECISION`` is DEFAULT and we are on TPU, feed the
+    operands to the MXU as bf16 with f32 accumulation explicitly
+    (``preferred_element_type``): a DEFAULT-precision f32 dot lowers to the
+    SAME single bf16 pass, but converting up front means the mask and
+    packed-product operands cross HBM at half width (the products are
+    bandwidth-bound at scale — benchmarks/profile_masked.py). The mask
+    operand is exactly representable in bf16 (0/1), so this is bit-identical
+    to XLA's own lowering. Any other precision setting (or backend) uses the
+    full-width dot so ``SINGLET_TPU_MASK_MM_PRECISION=highest`` still
+    restores reference-exact f32 products and CPU tests stay exact-f32.
+    """
+    cdim = 0 if transpose_x else x.ndim - 1
+    if (MASK_MM_PRECISION == jax.lax.Precision.DEFAULT
+            and jax.default_backend() == "tpu"):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+            (((cdim,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(x, y, (((cdim,), (0,)), ((), ())),
+                               precision=MASK_MM_PRECISION,
+                               preferred_element_type=x.dtype)
+
+
+def _sym_pos(k: int, iu) -> np.ndarray:
+    """(k, k) map from matrix position to packed-triangle index."""
     npairs = iu[0].shape[0]
     pos = np.zeros((k, k), np.int32)
     ar = np.arange(npairs, dtype=np.int32)
     pos[iu[0], iu[1]] = ar
     pos[iu[1], iu[0]] = ar
-    batch = packed.shape[:-1]
-    return jnp.take(packed, jnp.asarray(pos.reshape(-1)),
-                    axis=-1).reshape(batch + (k, k))
+    return pos
+
+
+def unpack_sym_t(packed: jnp.ndarray, k: int, iu,
+                 a_full: jnp.ndarray) -> jnp.ndarray:
+    """Per-column Grams ``a_full - unpack(packed_c)`` emitted DIRECTLY in the
+    coordinate-tile layout the Pallas batched-Gram NNLS kernel consumes:
+    ``at[i, j, c] = a_c[j, i]`` (= ``a_c[i, j]`` by symmetry), shape
+    (k, k, n) from ``packed`` (n, npairs).
+
+    Equivalent to ``transpose(a_full[None] - unpack_sym(packed, k, iu),
+    (2, 1, 0))`` but skips materializing the (n, k, k) batch AND the
+    minor-axis transpose (a strided relayout XLA executes as slow copies on
+    TPU); the only data movement left is the static-index gather on the
+    packed axis — the same permutation-copy trick as :func:`unpack_sym`.
+    """
+    pos = _sym_pos(k, iu)
+    # (npairs, n) -> gather rows by packed position -> (k*k, n)
+    up = jnp.take(packed.T, jnp.asarray(pos.reshape(-1)), axis=0)
+    return (a_full.reshape(k * k, 1) - up).reshape(k, k, packed.shape[0])
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -157,6 +157,49 @@ def nnls_batch(
     return X
 
 
+def _batched_a_block_cap(k: int) -> int:
+    """Column-block cap for the per-column-Gram Pallas kernel: two pipeline
+    copies of the (k, k, block) Gram tile plus the (k, block) vectors must
+    fit the ~128 MB VMEM (the kernel raises its vmem limit accordingly).
+    The CD sweep chain is a sequential recurrence, so the WIDEST block that
+    fits wins — at block=128 the chain is latency-bound (measured ~0.85 s
+    of the masked-CV iteration at the 524k/k=100 config)."""
+    return max(128, (88 << 20) // (8 * k * k))
+
+
+def solve_nnls_packed(a_full, packed, iu, B, X0, L1=0.0, L2=0.0,
+                      update_mask=None, max_sweeps: int = CD_MAX_SWEEPS,
+                      n_coord=None):
+    """Per-column NNLS where each column's Gram is ``a_full`` minus a
+    packed-triangle correction (the masked-CV formulation,
+    reference:src/singlet.cpp:460-464: ``a_i = AAt(w) - AAt(w[:, idx])``).
+
+    ``packed``: (n, npairs) accumulated masked outer products. On TPU the
+    per-column Grams are emitted straight into the Pallas kernel's
+    coordinate-tile layout (``unpack_sym_t``) — no (n, k, k) batch is ever
+    materialized and no minor-axis transpose runs; elsewhere this is
+    exactly ``solve_nnls(a_full[None] - unpack_sym(packed), ...)``.
+    """
+    from singlet_tpu.ops.linalg import unpack_sym, unpack_sym_t
+
+    n, k = B.shape
+    l1_is_array = isinstance(L1, jnp.ndarray) and getattr(L1, "ndim", 0) == 2
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not l1_is_array and B.dtype == jnp.float32 and n % 128 == 0:
+        from singlet_tpu.ops.pallas_nnls import nnls_batch_pallas_batched_at
+
+        at = unpack_sym_t(packed, k, iu, a_full)
+        block = next(b for b in (1024, 512, 256, 128)
+                     if n % b == 0 and b <= _batched_a_block_cap(k))
+        return nnls_batch_pallas_batched_at(at, B, X0, L1=L1, L2=L2,
+                                            update_mask=update_mask,
+                                            max_sweeps=max_sweeps,
+                                            block=block, n_coord=n_coord)
+    a = a_full[None] - unpack_sym(packed, k, iu)
+    return nnls_batch(a, B, X0, L1=L1, L2=L2, update_mask=update_mask,
+                      max_sweeps=max_sweeps, n_coord=n_coord)
+
+
 def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                max_sweeps: int = CD_MAX_SWEEPS, n_coord=None):
     """Backend dispatcher: fused Pallas kernels on TPU (8-10x faster than the
@@ -183,12 +226,8 @@ def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                                      update_mask=update_mask,
                                      max_sweeps=max_sweeps, block=block,
                                      n_coord=n_coord)
-        # per-column Grams: the (k, k, block) tile batch is double-buffered
-        # by the grid pipeline, so keep one copy under ~6 MB of the 16 MB
-        # scoped VMEM; larger blocks amortize the sequential sweep chain
-        vmem_cap = max(128, (6 * 2**20) // (k * k * 4))
         block = next(b for b in (1024, 512, 256, 128)
-                     if n % b == 0 and b <= vmem_cap)
+                     if n % b == 0 and b <= _batched_a_block_cap(k))
         return nnls_batch_pallas_batched_a(a, B, X0, L1=L1, L2=L2,
                                            update_mask=update_mask,
                                            max_sweeps=max_sweeps, block=block,

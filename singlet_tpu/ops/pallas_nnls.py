@@ -166,13 +166,36 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
     """Pallas CD-NNLS with a per-column Gram batch a: (n, k, k)."""
     n, k = B.shape
     assert a.ndim == 3 and a.shape == (n, k, k)
-    assert n % block == 0, (n, block)
-    dtype = B.dtype
 
     # leading-axis coordinate tiles: at[i, j, c] = a[c, j, i] (by Gram
     # symmetry = a[c, i, j]); at[i] is then contiguous in the kernel
     at = jnp.transpose(a, (2, 1, 0))   # (k, k, n)
-    idiag = 1.0 / jnp.diagonal(a, axis1=1, axis2=2).T    # (k, n)
+    return nnls_batch_pallas_batched_at(
+        at, B, X0, L1=L1, L2=L2, update_mask=update_mask,
+        max_sweeps=max_sweeps, block=block, interpret=interpret,
+        n_coord=n_coord)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_sweeps", "block", "interpret"))
+def nnls_batch_pallas_batched_at(at, B, X0, L1=0.0, L2=0.0, update_mask=None,
+                                 max_sweeps: int = CD_MAX_SWEEPS,
+                                 block: int = 256, interpret: bool = False,
+                                 n_coord=None):
+    """Pallas CD-NNLS with per-column Grams ALREADY in the coordinate-tile
+    layout ``at`` (k, k, n) with ``at[i, j, c] = a_c[j, i]`` — the layout
+    the kernel consumes. Producers that can emit this directly (the masked
+    packed-Gram path via ``ops.linalg.unpack_sym_t``) skip the (n, k, k)
+    materialization and its minor-axis relayout entirely."""
+    n, k = B.shape
+    assert at.ndim == 3 and at.shape == (k, k, n)
+    assert n % block == 0, (n, block)
+    dtype = B.dtype
+
+    # per-column diagonal reciprocals from the tile layout: at[i, i, :]
+    diag = jnp.take(at.reshape(k * k, n),
+                    jnp.arange(k) * (k + 1), axis=0)     # (k, n)
+    idiag = 1.0 / diag
     Bt = B.T
     X0t = X0.astype(dtype).T
     if update_mask is None:
@@ -185,6 +208,14 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                          k_div.astype(dtype)])
 
     grid = (n // block,)
+    # the (k, k, block) Gram tile dominates VMEM; the pipeline double-buffers
+    # grid inputs, so budget two copies plus the (k, block) vectors and slack.
+    # Raising the limit past the 16 MB scoped default lets the block grow to
+    # 512-1024 columns — the sweep chain is a sequential per-coordinate
+    # recurrence, so wider blocks amortize its latency over more lanes
+    # (measured: the masked-CV NNLS phase is latency-bound at block=128).
+    vmem_bytes = min(2 * (k * k * block * 4) + 12 * k * block * 4
+                     + (4 << 20), 128 << 20)
     out = pl.pallas_call(
         functools.partial(_nnls_kernel_batched, k=k, max_sweeps=max_sweeps),
         grid=grid,
@@ -209,6 +240,7 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
             pltpu.VMEM((1, block), dtype),      # active mask
             pltpu.SMEM((1,), jnp.int32),        # block-active flag
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(scalars, idiag, at, Bt, X0t, mask)
     return out.T

@@ -39,14 +39,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from singlet_tpu.ops.linalg import (
-    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
+    mask_dot,
     packed_outer_products,
     triu_pairs,
-    unpack_sym,
 )
-from singlet_tpu.ops.nnls import solve_nnls
+from singlet_tpu.ops.nnls import solve_nnls, solve_nnls_packed
 from singlet_tpu.ops.rngmask import mask_block, seed_pair
 
 AXIS = "cells"
@@ -181,12 +180,11 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             tile = jax.lax.dynamic_slice_in_dim(A_loc, start, cell_block, 1)
             keep = jnp.where(m.T, 0.0, 1.0).astype(W.dtype)
             B = jnp.dot((tile * keep).T, W, precision=MM_PRECISION)
-            packed = jnp.dot(m.astype(W.dtype), Pw,
-                             precision=MASK_MM_PRECISION)
-            a_blk = a_full[None] - unpack_sym(packed, k, iu)
+            packed = mask_dot(m.astype(W.dtype), Pw)
             Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
-            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+            return None, solve_nnls_packed(a_full, packed, iu, B, Y0,
+                                           L1=L1, L2=L2, update_mask=ne)
 
         _, Hs = jax.lax.scan(h_blk, None, jnp.arange(cells_local // cell_block))
         H_new = Hs.reshape(cells_local, k)
@@ -208,13 +206,11 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
             B = jax.lax.psum(
                 jnp.dot(tile * keep, H_new, precision=MM_PRECISION), AXIS)
-            packed = jax.lax.psum(
-                jnp.dot(m.astype(W.dtype), Ph,
-                        precision=MASK_MM_PRECISION), AXIS)
-            a_blk = a_h[None] - unpack_sym(packed, k, iu)
+            packed = jax.lax.psum(mask_dot(m.astype(W.dtype), Ph), AXIS)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            return None, solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne)
+            return None, solve_nnls_packed(a_h, packed, iu, B, Y0,
+                                           L1=L1, L2=L2, update_mask=ne)
 
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         W_new = Ws.reshape(genes_pad, k)

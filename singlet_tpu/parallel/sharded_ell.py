@@ -54,14 +54,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
 from singlet_tpu.ops.linalg import (
-    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
+    mask_dot,
     packed_outer_products,
     triu_pairs,
-    unpack_sym,
 )
-from singlet_tpu.ops.nnls import solve_nnls
+from singlet_tpu.ops.nnls import solve_nnls, solve_nnls_packed
 from singlet_tpu.ops.rngmask import mask_block, seed_pair
 from singlet_tpu.parallel.sharded import AXIS, make_mesh
 
@@ -467,21 +466,31 @@ def shard_ell_from_staged(directory: str, mesh: Mesh,
                                 gene_block=gene_block)
 
 
+# Plane width above which _bell_tile switches from the statically-unrolled
+# FMA chain to the one-shot compare-and-reduce: traced HLO size scales with
+# n_gb * width under the unroll (measured at production widths — n_gb=32,
+# width=40, maxit=100 masked loop — 5.4 s trace + 28 s XLA compile on CPU),
+# so anomalously wide planes (a few very dense cells) would blow up compile
+# time. The one-shot form is O(1) HLO ops with a (block, width, gene_block)
+# intermediate that XLA fuses into the reduction.
+_BELL_TILE_UNROLL_MAX_WIDTH = 128
+
+
 def _bell_tile(li, lv, gene_block: int):
     """(block, width) local-index blocked-ELL slice -> dense
-    (block, gene_block) tile, as a statically-unrolled chain of
-    multiply-compare-sum FMAs: XLA fuses the whole chain into ONE VPU
-    kernel with no gather/scatter and no 3D intermediate (pad entries have
-    li = -1 / val = 0, so they contribute exactly zero).
+    (block, gene_block) tile, as a fused multiply-compare-sum: no
+    gather/scatter anywhere (pad entries have li = -1 / val = 0, so they
+    contribute exactly zero).
 
-    Compile-time note: traced HLO size scales with n_gb * width (the fused
-    single-pass step builds each tile once). Measured at production widths
-    (n_gb=32, width=40, maxit=100 masked loop): 5.4 s trace + 28 s XLA
-    compile on CPU — acceptable; if a dataset with an anomalously wide
-    plane regresses this, switch the unroll to a
-    ``(li[:, :, None] == iota)``-style one-shot compare-and-reduce (same
-    math, one op, a (block, width, gene_block) intermediate XLA fuses)."""
+    Two formulations, same math: narrow planes use a statically-unrolled
+    chain of FMAs that XLA fuses into ONE VPU kernel with no 3D
+    intermediate; wide planes (width > _BELL_TILE_UNROLL_MAX_WIDTH) use a
+    single compare-and-reduce over the width axis so traced-HLO size stays
+    independent of the plane width."""
     iota = jnp.arange(gene_block, dtype=li.dtype)[None, :]
+    if li.shape[1] > _BELL_TILE_UNROLL_MAX_WIDTH:
+        onehot = (li[:, :, None] == iota[None]).astype(lv.dtype)
+        return jnp.sum(lv[:, :, None] * onehot, axis=1)
     tile = jnp.zeros((li.shape[0], gene_block), lv.dtype)
     for w in range(li.shape[1]):
         tile = tile + lv[:, w:w + 1] * (li[:, w:w + 1] == iota)
@@ -565,21 +574,23 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
     def _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
                         packed_w=None, k=None, iu=None):
         """Gene-block NNLS solves against accumulated right-hand sides.
-        With ``packed_w`` (masked path), each gene's Gram correction is
-        unpacked from the accumulated packed outer products."""
+        With ``packed_w`` (masked path), each gene's Gram correction comes
+        from the accumulated packed outer products (``solve_nnls_packed``
+        emits them straight in the kernel's tile layout)."""
         def w_blk(_, bi):
             start = bi * gene_block
             B = jax.lax.dynamic_slice_in_dim(Bw, start, gene_block, 0)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
             if packed_w is None:
-                a = a_h
+                X = solve_nnls(a_h, B, Y0, L1=L1_w, L2=L2_w,
+                               update_mask=ne, n_coord=n_coord)
             else:
                 pk = jax.lax.dynamic_slice_in_dim(packed_w, start,
                                                   gene_block, 0)
-                a = a_h[None] - unpack_sym(pk, k, iu)
-            return None, solve_nnls(a, B, Y0, L1=L1_w, L2=L2_w,
-                                    update_mask=ne, n_coord=n_coord)
+                X = solve_nnls_packed(a_h, pk, iu, B, Y0, L1=L1_w, L2=L2_w,
+                                      update_mask=ne, n_coord=n_coord)
+            return None, X
 
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         return Ws.reshape(genes_pad, -1)
@@ -647,6 +658,27 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         tol = cor_distance(W_new[:genes_true], W[:genes_true])
         return W_new, H_new, d, tol
 
+    def _masked_block(k: int, npairs: int) -> int:
+        """Masked compute-block size: a multiple of ``cell_block`` dividing
+        ``cells_local``. Default = one storage block — measured FASTEST on
+        the 524k/k=100 v5e config (0.341 iters/s at 2048 vs 0.309 at 4096
+        vs 0.26 at 8192): the hypothesized win from fewer (genes_pad,
+        npairs) ``Pk``-carry updates is outweighed by worse intra-block
+        overlap at larger bodies. ``SINGLET_TPU_MASKED_BLOCK_GIB`` sets an
+        HBM-intermediate budget to opt into larger compute blocks for
+        re-measurement on other topologies."""
+        import os
+
+        budget = int(float(os.environ.get(
+            "SINGLET_TPU_MASKED_BLOCK_GIB", "0")) * (1 << 30))
+        if budget <= 0:
+            return cell_block
+        per_col = 4 * (3 * genes_pad + 2 * k * k + 2 * npairs)
+        n_base = max(cells_local // cell_block, 1)
+        f_cap = max(1, min(n_base, budget // per_col // cell_block))
+        f = max(d for d in range(1, f_cap + 1) if n_base % d == 0)
+        return f * cell_block
+
     def _masked(b_li, b_val, ne_loc, gene_ne, W, H_loc,
                 seed, L1_h, L1_w, L2_h, L2_w, k_true):
         k = W.shape[1]
@@ -656,6 +688,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         iu = triu_pairs(k)
         npairs = k * (k + 1) // 2
         n_coord = jnp.asarray(k_true, jnp.float32)
+        mblock = _masked_block(k, npairs)
 
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         Pw = packed_outer_products(W, iu)
@@ -668,41 +701,44 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         # ONE fused pass over cell blocks (same algebra as the plain step's
         # fusion): the mask, the keep-multiplied tiles, and the per-block
         # packed products are each built ONCE per iteration — the dominant
-        # masked-path costs (profile_masked.py: mask+tiles+keep ~0.9 s,
-        # each packed product 1.5-1.7 s at HIGHEST / ~0.55 s at bf16 on the
-        # 524k config) are no longer paid twice. The w-side accumulators
-        # use the unnormalized H_b and are rescaled after the psum:
-        # B_w scales as 1/d per column, the packed H Gram corrections as
-        # 1/(d_i d_j) per pair. Ph is built per block — materializing
-        # (cells_local, npairs) would be 10s of GB at scale.
+        # masked-path costs (profile_masked.py: mask 0.16 s, tiles 0.32 s,
+        # each packed product ~0.5-0.6 s at bf16 on the 524k config) are
+        # not paid twice. The packed products go through ``mask_dot`` (bf16
+        # operand feeding, f32 accumulation) and the per-cell Gram solves
+        # through ``solve_nnls_packed`` (corrections emitted straight in
+        # the Pallas kernel's tile layout). The w-side accumulators use the
+        # unnormalized H_b and are rescaled after the psum: B_w scales as
+        # 1/d per column, the packed H Gram corrections as 1/(d_i d_j) per
+        # pair. Ph is built per block — materializing (cells_local, npairs)
+        # would be 10s of GB at scale.
         def blk(carry, bi):
             Bw, Pk, Hsum, Hgram = carry
-            start = bi * cell_block
+            start = bi * mblock
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
-                                               cell_block)
+                                               mblock)
             m = _mask_of(ids).astype(W.dtype)
-            li = _slice_planes(b_li, start, cell_block)
-            lv = _slice_planes(b_val, start, cell_block)
+            li = _slice_planes(b_li, start, mblock)
+            lv = _slice_planes(b_val, start, mblock)
             # keep-multiplied (training) tiles, reused by both products
             kts = []
             for gb, tile in _gb_tiles(li, lv):
                 gsl = slice(gb * gene_block, (gb + 1) * gene_block)
                 kts.append(tile * (1.0 - m[:, gsl]))
-            B = jnp.zeros((cell_block, k), W.dtype)
+            B = jnp.zeros((mblock, k), W.dtype)
             for gb, kt in enumerate(kts):
                 B = B + jnp.dot(kt, W[gb * gene_block:(gb + 1) * gene_block],
                                 precision=MM_PRECISION)
-            packed = jnp.dot(m, Pw, precision=MASK_MM_PRECISION)
-            a_blk = a_full[None] - unpack_sym(packed, k, iu)
-            Y0 = _slice2(H_loc, start, cell_block)
-            ne = _slice2(ne_loc, start, cell_block)
-            Hb = solve_nnls(a_blk, B, Y0, L1=L1_h, L2=L2_h,
-                            update_mask=ne, n_coord=n_coord)
+            packed = mask_dot(m, Pw)
+            Y0 = _slice2(H_loc, start, mblock)
+            ne = _slice2(ne_loc, start, mblock)
+            Hb = solve_nnls_packed(a_full, packed, iu, B, Y0,
+                                   L1=L1_h, L2=L2_h,
+                                   update_mask=ne, n_coord=n_coord)
             parts = [jnp.dot(kt.T, Hb, precision=MM_PRECISION)
                      for kt in kts]
             Bw = Bw + jnp.concatenate(parts, axis=0)
             Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
-            Pk = Pk + jnp.dot(m.T, Ph_b, precision=MASK_MM_PRECISION)
+            Pk = Pk + mask_dot(m, Ph_b, transpose_x=True)
             Hsum = Hsum + jnp.sum(Hb, axis=0)
             Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
             return (Bw, Pk, Hsum, Hgram), Hb
@@ -711,7 +747,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                   jnp.zeros((genes_pad, npairs), W.dtype),
                   jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
         (Bw, Pk, Hsum, Hgram), Hs = jax.lax.scan(
-            blk, carry0, jnp.arange(cells_local // cell_block))
+            blk, carry0, jnp.arange(cells_local // mblock))
         d = jax.lax.psum(Hsum, AXIS) + 1e-15
         H_new = Hs.reshape(cells_local, k) / d[None, :]
         a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])

@@ -34,17 +34,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from singlet_tpu.ops.linalg import (
-    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
     gram,
+    mask_dot,
     packed_outer_products,
     scale_columns,
     triu_pairs,
-    unpack_sym,
 )
 from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
-from singlet_tpu.ops.nnls import solve_nnls
+from singlet_tpu.ops.nnls import solve_nnls, solve_nnls_packed
 from singlet_tpu.ops.rngmask import seed_pair
 from singlet_tpu.sparse.matrix import DenseMatrix
 from singlet_tpu.tracing import get_metric_logger
@@ -143,13 +142,11 @@ def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
         tile = P.col_block(col_start, block)                     # (rows, blk)
         keep = jnp.where(m.T, jnp.zeros((), X.dtype), jnp.ones((), X.dtype))
         B = jnp.dot((tile * keep).T, X, precision=MM_PRECISION)  # (blk, k)
-        packed = jnp.dot(m.astype(X.dtype), P_pairs,
-                         precision=MASK_MM_PRECISION)
-        a_blk = a_full[None, :, :] - unpack_sym(packed, k, iu)
+        packed = mask_dot(m.astype(X.dtype), P_pairs)
         Y0 = jax.lax.dynamic_slice_in_dim(Y_warm, col_start, block, axis=0)
         ne = jax.lax.dynamic_slice_in_dim(P.nonempty, col_start, block, axis=0)
-        Y = solve_nnls(a_blk, B, Y0, L1=L1, L2=L2, update_mask=ne,
-                       n_coord=n_coord)
+        Y = solve_nnls_packed(a_full, packed, iu, B, Y0, L1=L1, L2=L2,
+                              update_mask=ne, n_coord=n_coord)
         return None, Y
 
     _, Ys = jax.lax.scan(body, None, jnp.arange(n_blocks))

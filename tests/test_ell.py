@@ -97,3 +97,40 @@ def test_no_scatter_in_operand_densify(rng):
     hlo = jax.jit(spmm).lower(data.b_li, data.b_val, W).as_text()
     assert "scatter" not in hlo.lower()
     assert "gather" not in hlo.lower()
+
+
+def test_bell_tile_wide_plane_formulation_equivalence():
+    """Planes wider than _BELL_TILE_UNROLL_MAX_WIDTH switch to the one-shot
+    compare-and-reduce (traced-HLO size independent of width); both
+    formulations must produce identical tiles."""
+    import jax.numpy as jnp
+
+    from singlet_tpu.parallel import sharded_ell
+    from singlet_tpu.parallel.sharded_ell import _bell_tile
+
+    rng = np.random.default_rng(5)
+    block, width, gene_block = 16, 12, 32
+    li = np.full((block, width), -1, np.int32)
+    lv = np.zeros((block, width), np.float32)
+    for c in range(block):
+        n = rng.integers(0, width + 1)
+        li[c, :n] = np.sort(rng.choice(gene_block, size=n, replace=False))
+        lv[c, :n] = rng.random(n) + 0.1
+
+    narrow = np.asarray(_bell_tile(jnp.asarray(li), jnp.asarray(lv),
+                                   gene_block))
+    try:
+        orig = sharded_ell._BELL_TILE_UNROLL_MAX_WIDTH
+        sharded_ell._BELL_TILE_UNROLL_MAX_WIDTH = width - 1
+        wide = np.asarray(_bell_tile(jnp.asarray(li), jnp.asarray(lv),
+                                     gene_block))
+    finally:
+        sharded_ell._BELL_TILE_UNROLL_MAX_WIDTH = orig
+    np.testing.assert_array_equal(narrow, wide)
+
+    dense = np.zeros((block, gene_block), np.float32)
+    for c in range(block):
+        for w in range(width):
+            if li[c, w] >= 0:
+                dense[c, li[c, w]] += lv[c, w]
+    np.testing.assert_allclose(narrow, dense, rtol=1e-6)

@@ -230,3 +230,55 @@ def test_gsea_frozen_regression_values():
     r = df_m.iloc[0]
     np.testing.assert_allclose(r["pval"], 0.23013245033112584, rtol=1e-9)
     np.testing.assert_allclose(r["NES"], 1.3134170461859145, rtol=1e-9)
+
+
+def test_msigdb_gene_sets_local_catalog(tmp_path, monkeypatch):
+    """msigdbr-style CSV catalogs resolve with category/subcategory/species
+    filters; run_gsea accepts a category string against the staged catalog
+    (the reference's RunGSEA(category="C5") surface,
+    reference:R/RunGSEA.R:46-57, without its network fetch)."""
+    import pandas as pd
+
+    from singlet_tpu.gsea import msigdb_gene_sets
+
+    rows = []
+    for gs, cat, sub, genes in [
+        ("GOBP_ALPHA", "C5", "GO:BP", ["G1", "G2", "G3"]),
+        ("GOMF_BETA", "C5", "GO:MF", ["G2", "G4"]),
+        ("HALLMARK_X", "H", "", ["G5", "G1"]),
+    ]:
+        for g in genes:
+            rows.append(dict(gs_name=gs, gene_symbol=g, gs_cat=cat,
+                             gs_subcat=sub, species_name="Homo sapiens"))
+    path = tmp_path / "msigdb.csv"
+    pd.DataFrame(rows).to_csv(path, index=False)
+
+    all_sets = msigdb_gene_sets(path=str(path))
+    assert set(all_sets) == {"GOBP_ALPHA", "GOMF_BETA", "HALLMARK_X"}
+    c5 = msigdb_gene_sets(category="C5", path=str(path))
+    assert set(c5) == {"GOBP_ALPHA", "GOMF_BETA"}
+    bp = msigdb_gene_sets(category="C5", subcategory="GO:BP",
+                          path=str(path))
+    assert bp == {"GOBP_ALPHA": ["G1", "G2", "G3"]}
+
+    # env-var staging + category-string dispatch through run_gsea
+    monkeypatch.setenv("SINGLET_TPU_MSIGDB", str(path))
+    got = msigdb_gene_sets(category="H")
+    assert got == {"HALLMARK_X": ["G1", "G5"]}
+
+    # unstaged catalog fails loudly with the deviation explanation
+    monkeypatch.delenv("SINGLET_TPU_MSIGDB")
+    with pytest.raises(ValueError, match="msigdbr"):
+        msigdb_gene_sets(category="C5")
+
+
+def test_msigdb_gmt_directory(tmp_path):
+    from singlet_tpu.gsea import msigdb_gene_sets
+
+    (tmp_path / "c5.go.bp.gmt").write_text(
+        "SET_A\tdesc\tG1\tG2\nSET_B\tdesc\tG3\n")
+    (tmp_path / "h.all.gmt").write_text("HALL\tdesc\tG4\n")
+    c5 = msigdb_gene_sets(category="c5", path=str(tmp_path))
+    assert set(c5) == {"SET_A", "SET_B"}
+    everything = msigdb_gene_sets(path=str(tmp_path))
+    assert set(everything) == {"SET_A", "SET_B", "HALL"}

@@ -157,3 +157,55 @@ def test_nnls_sweep_instrumentation(rng):
                         jnp.asarray(X0), update_mask=jnp.asarray(mask),
                         return_sweeps=True)
     assert np.asarray(sw2)[3] == 0
+
+
+def test_solve_nnls_packed_matches_explicit_batched_gram(rng):
+    """solve_nnls_packed (packed Gram corrections, tile-layout emission on
+    TPU) must equal the explicit a_full[None] - unpack_sym formulation."""
+    from singlet_tpu.ops.linalg import packed_outer_products, triu_pairs, \
+        unpack_sym
+    from singlet_tpu.ops.nnls import solve_nnls_packed
+
+    n, k, genes = 24, 5, 40
+    F, a_full, _, B = _random_problem(rng, n, k, m=genes)
+    iu = triu_pairs(k)
+    Pw = packed_outer_products(jnp.asarray(F), iu)          # (genes, npairs)
+    m = (rng.random((n, genes)) < 0.3).astype(np.float32)
+    packed = jnp.asarray(m) @ Pw                            # (n, npairs)
+
+    X0 = jnp.zeros((n, k), jnp.float32)
+    got = solve_nnls_packed(jnp.asarray(a_full), packed, iu,
+                            jnp.asarray(B), X0, L1=0.01)
+    a_batch = jnp.asarray(a_full)[None] - unpack_sym(packed, k, iu)
+    want = nnls_batch(a_batch, jnp.asarray(B), X0, L1=0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_unpack_sym_t_is_transposed_unpack_sym(rng):
+    """unpack_sym_t emits at[i, j, c] = (a_full - unpack(packed_c))[j, i]."""
+    from singlet_tpu.ops.linalg import triu_pairs, unpack_sym, unpack_sym_t
+
+    n, k = 7, 4
+    iu = triu_pairs(k)
+    npairs = k * (k + 1) // 2
+    packed = jnp.asarray(rng.random((n, npairs)).astype(np.float32))
+    a_full = jnp.asarray(rng.random((k, k)).astype(np.float32))
+    a_full = a_full + a_full.T
+
+    at = unpack_sym_t(packed, k, iu, a_full)
+    want = jnp.transpose(a_full[None] - unpack_sym(packed, k, iu), (2, 1, 0))
+    np.testing.assert_array_equal(np.asarray(at), np.asarray(want))
+
+
+def test_mask_dot_matches_plain_dot(rng):
+    """mask_dot == x @ y / x.T @ y on CPU (exact f32 at every precision)."""
+    from singlet_tpu.ops.linalg import mask_dot
+
+    x = jnp.asarray(rng.random((12, 20)).astype(np.float32))
+    y = jnp.asarray(rng.random((20, 9)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(mask_dot(x, y)),
+                               np.asarray(x @ y), rtol=1e-6)
+    y2 = jnp.asarray(rng.random((12, 9)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(mask_dot(x, y2, transpose_x=True)),
+                               np.asarray(x.T @ y2), rtol=1e-6)
