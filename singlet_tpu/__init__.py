@@ -45,6 +45,8 @@ from singlet_tpu.solvers.gcnmf import (
 from singlet_tpu.solvers.mu import mu_nmf
 from singlet_tpu.solvers.batch import nmf_batch
 from singlet_tpu.annotate import annotate_nmf
+from singlet_tpu.parallel import make_mesh
+from singlet_tpu.pipeline import cellxgene_pipeline
 from singlet_tpu.gsea import msigdb_gene_sets, read_gmt, run_gsea
 from singlet_tpu.plots import (
     annotation_plot,
@@ -104,6 +106,8 @@ __all__ = [
     "assign_cells_to_edge_clusters",
     # downstream analytics (AnnotateNMF / RunGSEA surface)
     "annotate_nmf",
+    "make_mesh",
+    "cellxgene_pipeline",
     "run_gsea",
     "read_gmt",
     "msigdb_gene_sets",

@@ -85,7 +85,8 @@ def cellxgene_pipeline(input_path: str, out: str | None = None,
 
     if out is None:
         out = "".join(c for c in Path(input_path).stem if c.isalnum()) or "model"
-    print(f" saving model to {out}.npz/.json", flush=True)
+    print(f" saving model to {Path(out).with_suffix('')}.npz/.json",
+          flush=True)
     model.save(out)
     # annotation frames as sidecar CSVs
     for col, df in (model.misc.get("annotations") or {}).items():
