@@ -90,27 +90,35 @@ def read_10x_mtx(directory: str) -> CellDataset:
 
 
 def read_seurat_rds(path: str) -> CellDataset:
-    """Read a Seurat object (or bare dgCMatrix) from an .rds file.
+    """Read a Seurat or SingleCellExperiment object (or bare dgCMatrix)
+    from an .rds file.
 
     The input surface of the reference's ``cellxgene_pipeline``
-    (reference:R/cellxgene_pipeline.R:19-21: readRDS -> RNA assay counts).
-    Parsed by the from-scratch R serialization reader (sparse/rdata.py):
-    Seurat S4 -> active assay counts dgCMatrix + meta.data columns.
+    (reference:R/cellxgene_pipeline.R:19-21: readRDS -> RNA assay counts)
+    plus its other ecosystem class (``RunNMF.SingleCellExperiment``,
+    reference:R/RunNMF.R:222-324). Parsed by the from-scratch R
+    serialization reader (sparse/rdata.py): Seurat S4 -> active assay
+    counts + meta.data; SCE S4 -> assays listData counts + colData.
     """
     from singlet_tpu.sparse.rdata import (dgcmatrix_to_csc, r_class,
-                                          read_rds, seurat_to_parts)
+                                          read_rds, sce_to_parts,
+                                          seurat_to_parts)
 
     obj = read_rds(path)
     cls = r_class(obj)
     if "Seurat" in cls:
         M, genes, cells, meta = seurat_to_parts(obj)
+    elif any(c in cls for c in ("SingleCellExperiment",
+                                "SummarizedExperiment",
+                                "RangedSummarizedExperiment")):
+        M, genes, cells, meta = sce_to_parts(obj)
     elif "dgCMatrix" in cls:
         M, genes, cells = dgcmatrix_to_csc(obj)
         meta = {}
     else:
         raise ValueError(
-            f".rds object of class {cls or ['?']} is not a Seurat object "
-            "or dgCMatrix")
+            f".rds object of class {cls or ['?']} is not a Seurat object, "
+            "SingleCellExperiment, or dgCMatrix")
     return CellDataset(
         counts=sp.csc_matrix(M.astype(np.float32)),
         gene_names=genes if genes is not None

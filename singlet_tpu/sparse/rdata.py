@@ -387,6 +387,84 @@ def seurat_to_parts(obj):
     return M, genes, cells, meta
 
 
+def _any_matrix_to_csc(m):
+    """dgCMatrix S4 or dense R matrix -> (scipy CSC, rownames, colnames)."""
+    import scipy.sparse as sp
+
+    if isinstance(m, RObj) and "dgCMatrix" in r_class(m):
+        return dgcmatrix_to_csc(m)
+    if isinstance(m, RObj) and m.type in ("double", "integer"):
+        dim = m.attrs.get("dim")
+        if dim is None:
+            raise ValueError("assay matrix has no dim attribute")
+        nr, nc = (int(v) for v in dim.value[:2])
+        arr = np.asarray(m.value, np.float64).reshape(nc, nr).T  # col-major
+        genes = cells = None
+        dn = m.attrs.get("dimnames")
+        if isinstance(dn, RObj) and dn.type == "list" and len(dn.value) == 2:
+            rn, cn = dn.value
+            if isinstance(rn, RObj) and rn.type == "character":
+                genes = [str(s) for s in rn.value]
+            if isinstance(cn, RObj) and cn.type == "character":
+                cells = [str(s) for s in cn.value]
+        return sp.csc_matrix(arr), genes, cells
+    raise ValueError(f"unsupported assay matrix (class {r_class(m)})")
+
+
+def sce_to_parts(obj):
+    """SingleCellExperiment / SummarizedExperiment S4 ->
+    (counts CSC, gene_names, cell_names, meta dict).
+
+    The reference's other ecosystem class (``RunNMF.SingleCellExperiment``,
+    reference:R/RunNMF.R:222-324, reads ``assay(object)``). Slot layout:
+    ``assays`` is a SimpleAssays/Assays wrapper whose ``data`` slot is an
+    S4Vectors SimpleList with the matrices in ``listData`` (counts
+    preferred, then logcounts, then the first); ``colData`` is a DFrame
+    (columns in ``listData``, cell names in ``rownames``). Gene/cell names
+    fall back to the assay matrix's Dimnames.
+    """
+    cls = r_class(obj)
+    if not any(c in cls for c in
+               ("SingleCellExperiment", "SummarizedExperiment",
+                "RangedSummarizedExperiment")):
+        raise ValueError(
+            f"not a SingleCellExperiment object (class {cls})")
+    a = obj.attrs
+
+    # unwrap assays -> ... -> listData (SimpleAssays holds a SimpleList)
+    node = a.get("assays")
+    listdata = None
+    for _ in range(4):
+        if not isinstance(node, RObj):
+            break
+        at = node.attrs
+        if "listData" in at:
+            listdata = at["listData"]
+            break
+        node = at.get("data")
+    if listdata is None:
+        raise ValueError("SingleCellExperiment has no assays listData")
+    m = (_named_get(listdata, "counts")
+         or _named_get(listdata, "logcounts")
+         or (listdata.value[0] if listdata.value else None))
+    if m is None:
+        raise ValueError("SingleCellExperiment assays are empty")
+    M, genes, cells = _any_matrix_to_csc(m)
+
+    meta = {}
+    cd = a.get("colData")
+    if isinstance(cd, RObj):
+        ld = cd.attrs.get("listData")
+        if isinstance(ld, RObj) and ld.type == "list":
+            conv = r_to_python(ld)
+            if isinstance(conv, dict):
+                meta = {k: np.asarray(v) for k, v in conv.items()}
+        rn = cd.attrs.get("rownames")
+        if cells is None and isinstance(rn, RObj) and rn.type == "character":
+            cells = [str(s) for s in rn.value]
+    return M, genes, cells, meta
+
+
 def r_to_python(obj):
     """Best-effort conversion of an RObj tree to plain Python/numpy."""
     if obj is None:

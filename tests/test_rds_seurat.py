@@ -202,3 +202,104 @@ def test_rds_rejects_non_seurat(tmp_path):
         f.write(w.rds_bytes(lambda: w.strvec(["hello"])))
     with pytest.raises(ValueError, match="not a Seurat"):
         read_seurat_rds(str(tmp_path / "x.rds"))
+
+
+def _write_sce_rds(path, M, genes, cells, meta_types, dense=False):
+    """Serialize a SingleCellExperiment-shaped S4: assays -> SimpleAssays
+    (data slot = SimpleList with listData) + colData DFrame."""
+    w = _W()
+    M = sp.csc_matrix(M)
+
+    def dgc():
+        w.s4([
+            ("i", lambda: w.intvec(M.indices.tolist())),
+            ("p", lambda: w.intvec(M.indptr.tolist())),
+            ("Dim", lambda: w.intvec(list(M.shape))),
+            ("Dimnames", lambda: w.rlist([
+                lambda: w.strvec(genes), lambda: w.strvec(cells)])),
+            ("x", lambda: w.realvec(M.data.tolist())),
+            ("class", lambda: w.strvec(["dgCMatrix"])),
+        ])
+
+    def dense_mat():
+        vals = np.asarray(M.todense(), np.float64).T.ravel()  # col-major
+        w.realvec(vals.tolist(), attrs=[
+            ("dim", lambda: w.intvec(list(M.shape))),
+            ("dimnames", lambda: w.rlist([
+                lambda: w.strvec(genes), lambda: w.strvec(cells)])),
+        ])
+
+    def simple_list():
+        w.s4([
+            ("listData", lambda: w.rlist(
+                [dense_mat if dense else dgc],
+                attrs=[("names", lambda: w.strvec(["counts"]))])),
+            ("class", lambda: w.strvec(["SimpleList"])),
+        ])
+
+    def assays():
+        w.s4([
+            ("data", simple_list),
+            ("class", lambda: w.strvec(["SimpleAssays"])),
+        ])
+
+    def col_data():
+        names = list(meta_types.keys())
+
+        def col(v):
+            if isinstance(v[0], str):
+                return lambda: w.strvec(list(v))
+            return lambda: w.realvec(list(v))
+
+        w.s4([
+            ("rownames", lambda: w.strvec(cells)),
+            ("nrows", lambda: w.intvec([len(cells)])),
+            ("listData", lambda: w.rlist(
+                [col(v) for v in meta_types.values()],
+                attrs=[("names", lambda: w.strvec(names))])),
+            ("class", lambda: w.strvec(["DFrame"])),
+        ])
+
+    def root():
+        w.s4([
+            ("assays", assays),
+            ("colData", col_data),
+            ("class", lambda: w.strvec(["SingleCellExperiment"])),
+        ])
+
+    with open(path, "wb") as f:
+        f.write(w.rds_bytes(root))
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_sce_rds_roundtrip(tmp_path, rng, dense):
+    """SingleCellExperiment .rds ingest (sparse dgCMatrix and dense-matrix
+    assays), the reference's RunNMF.SingleCellExperiment input surface
+    (reference:R/RunNMF.R:222-324)."""
+    from singlet_tpu.sparse.rdata import sce_to_parts
+
+    M, genes, cells, meta = _toy(rng)
+    path = str(tmp_path / "sce.rds")
+    _write_sce_rds(path, M, genes, cells, meta, dense=dense)
+
+    obj = read_rds(path)
+    assert "SingleCellExperiment" in r_class(obj)
+    M2, g2, c2, meta2 = sce_to_parts(obj)
+    assert (sp.csc_matrix(M2) != sp.csc_matrix(M)).nnz == 0
+    assert g2 == genes and c2 == cells
+    assert list(meta2["cell_type"]) == meta["cell_type"]
+    np.testing.assert_allclose(meta2["n_counts"], meta["n_counts"])
+
+    ds = read_seurat_rds(path)
+    assert ds.n_genes == 30 and ds.n_cells == 20
+    assert list(ds.meta["cell_type"]) == meta["cell_type"]
+
+
+def test_pipeline_accepts_sce_rds(tmp_path, rng):
+    from singlet_tpu.pipeline import load_any
+
+    M, genes, cells, meta = _toy(rng)
+    path = str(tmp_path / "sce.rds")
+    _write_sce_rds(path, M, genes, cells, meta)
+    ds = load_any(path)
+    assert ds.n_cells == 20 and ds.gene_names == genes
