@@ -1,0 +1,236 @@
+"""Fused Pallas TPU kernels for blocked-ELL SpMM — the sparse half-update
+products without HBM tile round-trips.
+
+The XLA formulation (parallel/sharded_ell.py:_bell_tile + jnp.dot) densifies
+each (cell_block, gene_block) tile into HBM, then the matmul reads it back —
+~100 GB of tile traffic per ALS iteration at the 524k-cell config. These
+kernels build the tile in VMEM scratch (same multiply-compare-sum over the
+per-block nnz window; pad entries li = -1 / val = 0 contribute zero) and
+feed the MXU directly:
+
+  * ``bell_spmm``     B  = sum_gb densify(li[gb], lv[gb]) @ W[gb]   (cells, k)
+  * ``bell_spmm_t``   Bw[gb] = densify(li[gb], lv[gb])^T @ H        (genes, k)
+
+Both take an optional CV ``seed``: the speckled test-set keep-mask is then
+evaluated IN-KERNEL at the nonzero positions only — the xorshift64 counter
+hash (ops/rngmask.py, bit-faithful to reference:src/singlet.cpp:30-64) runs
+on the (block, width) nnz window instead of the dense (block, genes) grid,
+and the training product ``tile * (1 - mask)`` never materializes either
+operand. Validity clamps are unnecessary here: padded cells/genes have no
+nonzeros, so their keep factor multiplies an exact zero.
+
+The grid tiles BOTH axes — (cell sub-blocks, gene blocks) — because
+Mosaic's scoped-VMEM stack accounting scales with the in-kernel tile
+footprint (a full 1024-2048-cell tile measured a 43 MB stack, an instant
+scoped-vmem OOM); 256-cell sub-blocks keep every program's working set a
+few MB. Accumulation happens in the revisited output block along the
+fastest grid dimension (gene blocks for B, cell sub-blocks for Bw).
+
+Numerics are identical to the XLA formulation: same per-gene-block
+accumulation order, same dot precision, same mask hash.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from singlet_tpu.ops.rngmask import _J_MIX, _XJ_MIX, _xs, hash_i, u64_add
+
+_TILE_GROUP = 8
+_CELL_SUBBLOCK = 256
+
+
+def _build_tile(tile_ref, li, lv, gene_block: int, keep=None):
+    """(bc, width) nnz window -> dense (bc, gene_block) tile in the VMEM
+    scratch ``tile_ref``. ``keep`` (bc, width) optionally pre-multiplies
+    the values (the masked-CV training product). Accumulates through the
+    scratch ref in groups of ``_TILE_GROUP`` width steps to bound the
+    live-temporary set."""
+    if keep is not None:
+        lv = lv * keep
+    width = li.shape[1]
+    iota = jnp.arange(gene_block, dtype=li.dtype)[None, :]
+    tile_ref[:, :] = jnp.zeros(tile_ref.shape, lv.dtype)
+    for w0 in range(0, width, _TILE_GROUP):
+        part = None
+        for w in range(w0, min(w0 + _TILE_GROUP, width)):
+            term = lv[:, w:w + 1] * (li[:, w:w + 1] == iota)
+            part = term if part is None else part + term
+        tile_ref[:, :] = tile_ref[:, :] + part
+
+
+def _keep_at_nnz(seed_ref, cell_ids, li, g, gene_block: int,
+                 inv_density: int, dtype):
+    """1 - testmask at the nnz positions of gene block ``g``: the counter
+    hash of (seed, cell, global gene) on the (bc, width) window.
+    Matches ops/rngmask.mask_block at every (cell, gene) it evaluates."""
+    sh, sl = seed_ref[0, 0], seed_ref[0, 1]
+    ci = (jnp.zeros_like(cell_ids, jnp.uint32), cell_ids.astype(jnp.uint32))
+    xi = hash_i(sh, sl, ci)                       # per-cell stage, (bc,)
+    gid = (g * gene_block + li).astype(jnp.uint32)  # pad li=-1: value is 0
+    gj = (jnp.zeros_like(gid), gid)
+    jm = _xs(gj, _J_MIX)
+    x = u64_add((xi[0][:, None], xi[1][:, None]), jm)
+    x = _xs(x, _XJ_MIX)
+    d = jnp.uint32(inv_density)
+    two32_mod = jnp.uint32((1 << 32) % inv_density)
+    masked = ((x[0] % d) * two32_mod + x[1] % d) % d == 0
+    return jnp.where(masked, jnp.zeros((), dtype), jnp.ones((), dtype))
+
+
+def _spmm_kernel(seed_ref, ids_ref, li_ref, lv_ref, W_ref, out_ref,
+                 tile_ref, *, gene_block: int, inv_density: int,
+                 masked: bool, precision):
+    g = pl.program_id(1)          # gene blocks: fastest dim, accumulated
+    keep = None
+    if masked:
+        keep = _keep_at_nnz(seed_ref, ids_ref[0, :], li_ref[0], g,
+                            gene_block, inv_density, lv_ref.dtype)
+    _build_tile(tile_ref, li_ref[0], lv_ref[0], gene_block, keep=keep)
+    part = jax.lax.dot_general(tile_ref[:, :], W_ref[0, :, :],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:, :] = part
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
+
+
+def _spmm_t_kernel(seed_ref, ids_ref, li_ref, lv_ref, H_ref, out_ref,
+                   tile_ref, *, gene_block: int, inv_density: int,
+                   masked: bool, precision):
+    g = pl.program_id(0)          # gene blocks: one output block each
+    i = pl.program_id(1)          # cell sub-blocks: fastest, accumulated
+    keep = None
+    if masked:
+        keep = _keep_at_nnz(seed_ref, ids_ref[0, :], li_ref[0], g,
+                            gene_block, inv_density, lv_ref.dtype)
+    _build_tile(tile_ref, li_ref[0], lv_ref[0], gene_block, keep=keep)
+    part = jax.lax.dot_general(
+        tile_ref[:, :], H_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, :, :] = part
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[0, :, :] = out_ref[0, :, :] + part
+
+
+def _sub_block(block: int) -> int:
+    bc = min(_CELL_SUBBLOCK, block)
+    while block % bc:
+        bc //= 2
+    return max(bc, 8)
+
+
+def _vmem_budget(bc: int, gene_block: int, width: int, k: int) -> int:
+    """Scoped-VMEM limit: double-buffered plane/W inputs + the tile scratch
+    + a group of unrolled temporaries + slack, capped at 128 MB."""
+    planes = 2 * 2 * bc * width * 4               # li + lv, double-buffered
+    wk = 2 * gene_block * max(k, 128) * 4
+    tile = bc * gene_block * 4
+    group = (_TILE_GROUP + 4) * tile
+    return min(planes + wk + tile + group + (16 << 20), 128 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gene_block", "inv_density", "masked", "precision", "interpret"))
+def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
+              inv_density: int = 20, masked: bool = False,
+              precision=None, interpret: bool = False):
+    """B = sum_gb densify(b_li[gb], b_val[gb])[*keep] @ W[gb*GB:(gb+1)*GB].
+
+    b_li/b_val: (n_gb, block, width); W: (n_gb*gene_block, k);
+    seed: uint32[2]; cell_ids: (block,) int32 global ids (masked only).
+    Returns (block, k) float32.
+    """
+    n_gb, block, width = b_li.shape
+    k = W.shape[1]
+    bc = _sub_block(block)
+    seed2 = jnp.asarray(seed, jnp.uint32).reshape(1, 2)
+    ids2 = jnp.asarray(cell_ids, jnp.int32).reshape(1, block)
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, gene_block=gene_block,
+                          inv_density=inv_density, masked=masked,
+                          precision=precision),
+        grid=(block // bc, n_gb),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, g: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc, width), lambda i, g: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc, width), lambda i, g: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gene_block, k), lambda i, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc, k), lambda i, g: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((block, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bc, gene_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)),
+        interpret=interpret,
+    )(seed2, ids2, b_li, b_val, W.reshape(n_gb, gene_block, k))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gene_block", "inv_density", "masked", "precision", "interpret"))
+def bell_spmm_t(b_li, b_val, H, seed, cell_ids, *, gene_block: int,
+                inv_density: int = 20, masked: bool = False,
+                precision=None, interpret: bool = False):
+    """Bw = concat_gb densify(b_li[gb], b_val[gb])[*keep]^T @ H —
+    the w-update right-hand-side partials of one cell block.
+
+    b_li/b_val: (n_gb, block, width); H: (block, k). Returns
+    (n_gb*gene_block, k) float32 (each gene block accumulated over the
+    cell sub-blocks, the fastest grid dimension).
+    """
+    n_gb, block, width = b_li.shape
+    k = H.shape[1]
+    bc = _sub_block(block)
+    seed2 = jnp.asarray(seed, jnp.uint32).reshape(1, 2)
+    ids2 = jnp.asarray(cell_ids, jnp.int32).reshape(1, block)
+    out = pl.pallas_call(
+        functools.partial(_spmm_t_kernel, gene_block=gene_block,
+                          inv_density=inv_density, masked=masked,
+                          precision=precision),
+        grid=(n_gb, block // bc),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda g, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc, width), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc, width), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, k), lambda g, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gene_block, k), lambda g, i: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_gb, gene_block, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bc, gene_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)),
+        interpret=interpret,
+    )(seed2, ids2, b_li, b_val, H)
+    return out.reshape(n_gb * gene_block, k)

@@ -564,6 +564,66 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         for gb in range(n_gb):
             yield gb, _bell_tile(li[gb], lv[gb], gene_block)
 
+    # On TPU the SpMM products run as fused Pallas kernels
+    # (ops/pallas_bell.py): the dense tile lives only in VMEM — no HBM tile
+    # round-trip (~100 GB/iteration at the 524k config) — and the masked-CV
+    # keep factor is hashed in-kernel at the nnz positions only (a
+    # (block, width) window instead of the dense (block, genes) grid).
+    # The XLA tile formulation below stays the CPU/test path; numerics are
+    # identical up to fp reassociation in the Bw cell-contraction (the
+    # kernel sums 256-cell partials — tests/test_pallas_bell.py,
+    # benchmarks/bell_step_check.py). SINGLET_TPU_BELL_KERNELS=0 opts out.
+    import os as _os
+
+    use_bell_kernels = (jax.default_backend() == "tpu" and
+                        _os.environ.get("SINGLET_TPU_BELL_KERNELS", "1")
+                        != "0")
+    _zero_seed = jnp.zeros((2,), jnp.uint32)
+
+    def _spmm_b(li, lv, W, seed=None, ids=None):
+        """B (block, k) = keep-masked SpMM of one cell block against W."""
+        if use_bell_kernels:
+            from singlet_tpu.ops.pallas_bell import bell_spmm
+
+            return bell_spmm(
+                li, lv, W, _zero_seed if seed is None else seed,
+                jnp.zeros((li.shape[1],), jnp.int32) if ids is None else ids,
+                gene_block=gene_block, inv_density=inv_density,
+                masked=seed is not None, precision=MM_PRECISION)
+        B = jnp.zeros((li.shape[1], W.shape[1]), W.dtype)
+        for gb, tile in _gb_tiles(li, lv):
+            gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+            if seed is not None:
+                tile = tile * _keep_dense(seed, ids, gsl)
+            B = B + jnp.dot(tile, W[gsl], precision=MM_PRECISION)
+        return B
+
+    def _spmm_bw(li, lv, Hb, seed=None, ids=None):
+        """Bw partials (genes_pad, k) = keep-masked SpMM^T of one block."""
+        if use_bell_kernels:
+            from singlet_tpu.ops.pallas_bell import bell_spmm_t
+
+            return bell_spmm_t(
+                li, lv, Hb, _zero_seed if seed is None else seed,
+                jnp.zeros((li.shape[1],), jnp.int32) if ids is None else ids,
+                gene_block=gene_block, inv_density=inv_density,
+                masked=seed is not None, precision=MM_PRECISION)
+        parts = []
+        for gb, tile in _gb_tiles(li, lv):
+            gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+            if seed is not None:
+                tile = tile * _keep_dense(seed, ids, gsl)
+            parts.append(jnp.dot(tile.T, Hb, precision=MM_PRECISION))
+        return jnp.concatenate(parts, axis=0)
+
+    def _keep_dense(seed, ids, gsl):
+        """CPU-path keep factor: 1 - mask over one gene-block slice. The
+        validity clamp of _mask_of is unnecessary here — padded cells/genes
+        have no nonzeros, so keep multiplies exact zeros."""
+        gene_ids = jnp.arange(gsl.start, gsl.stop)
+        m = mask_block(seed, ids, gene_ids, inv_density)
+        return 1.0 - m.astype(jnp.float32)
+
     def _slice2(arr, start, size):
         return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
 
@@ -624,19 +684,13 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             start = bi * cell_block
             li = _slice_planes(b_li, start, cell_block)
             lv = _slice_planes(b_val, start, cell_block)
-            tiles = [t for _, t in _gb_tiles(li, lv)]
-            B = jnp.zeros((cell_block, k), W.dtype)
-            for gb, tile in enumerate(tiles):
-                Wb = W[gb * gene_block:(gb + 1) * gene_block]
-                B = B + jnp.dot(tile, Wb, precision=MM_PRECISION)
+            B = _spmm_b(li, lv, W)
             if link_h_loc is not None:
                 B = B * _slice2(link_h_loc, start, cell_block)
             Y0 = _slice2(H_loc, start, cell_block)
             ne = _slice2(ne_loc, start, cell_block)
             Hb = solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h, update_mask=ne)
-            parts = [jnp.dot(tile.T, Hb, precision=MM_PRECISION)
-                     for tile in tiles]
-            Bw = Bw + jnp.concatenate(parts, axis=0)
+            Bw = Bw + _spmm_bw(li, lv, Hb)
             Hsum = Hsum + jnp.sum(Hb, axis=0)
             Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
             return (Bw, Hsum, Hgram), Hb
@@ -716,27 +770,17 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             start = bi * mblock
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                mblock)
-            m = _mask_of(ids).astype(W.dtype)
+            m = _mask_of(ids).astype(W.dtype)    # dense: packed products only
             li = _slice_planes(b_li, start, mblock)
             lv = _slice_planes(b_val, start, mblock)
-            # keep-multiplied (training) tiles, reused by both products
-            kts = []
-            for gb, tile in _gb_tiles(li, lv):
-                gsl = slice(gb * gene_block, (gb + 1) * gene_block)
-                kts.append(tile * (1.0 - m[:, gsl]))
-            B = jnp.zeros((mblock, k), W.dtype)
-            for gb, kt in enumerate(kts):
-                B = B + jnp.dot(kt, W[gb * gene_block:(gb + 1) * gene_block],
-                                precision=MM_PRECISION)
+            B = _spmm_b(li, lv, W, seed=seed, ids=ids)
             packed = mask_dot(m, Pw)
             Y0 = _slice2(H_loc, start, mblock)
             ne = _slice2(ne_loc, start, mblock)
             Hb = solve_nnls_packed(a_full, packed, iu, B, Y0,
                                    L1=L1_h, L2=L2_h,
                                    update_mask=ne, n_coord=n_coord)
-            parts = [jnp.dot(kt.T, Hb, precision=MM_PRECISION)
-                     for kt in kts]
-            Bw = Bw + jnp.concatenate(parts, axis=0)
+            Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids)
             Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
             Pk = Pk + mask_dot(m, Ph_b, transpose_x=True)
             Hsum = Hsum + jnp.sum(Hb, axis=0)
@@ -775,11 +819,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             start = bi * cell_block
             li = _slice_planes(b_li, start, cell_block)
             lv = _slice_planes(b_val, start, cell_block)
-            B = jnp.zeros((cell_block, k), W.dtype)
-            for gb, tile in _gb_tiles(li, lv):
-                B = B + jnp.dot(
-                    tile, Wn[gb * gene_block:(gb + 1) * gene_block],
-                    precision=MM_PRECISION)
+            B = _spmm_b(li, lv, Wn)
             ne = _slice2(ne_loc, start, cell_block)
             return None, solve_nnls(a, B, jnp.zeros((cell_block, k), W.dtype),
                                     L1=L1, L2=L2, update_mask=ne)
