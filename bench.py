@@ -104,29 +104,38 @@ def main():
     from singlet_tpu.ops.nnls import nnls_batch
 
     @jax.jit
-    def inst_step(Ap, Atp, W, H):   # operands as args, NOT closures — a
-        # closed-over 512 MB constant would be embedded in the compile
+    def inst_step(Ap, Atp, W, H, cap):   # operands as args, NOT closures —
+        # a closed-over 512 MB constant would be embedded in the compile
         # request (the tunneled remote-compile service rejects it)
         a = gram(W)
         B = Ap.t_matmul(W)
         H2, sw_h = nnls_batch(a, B, H, L1=l1, L2=l2,
-                              update_mask=Ap.nonempty, return_sweeps=True)
+                              update_mask=Ap.nonempty, return_sweeps=True,
+                              sweep_cap=cap)
         H2, _ = scale_columns(H2)
         a2 = gram(H2)
         B2 = Atp.t_matmul(H2)
         W2, sw_w = nnls_batch(a2, B2, W, L1=l1, L2=l2,
-                              update_mask=Atp.nonempty, return_sweeps=True)
+                              update_mask=Atp.nonempty, return_sweeps=True,
+                              sweep_cap=cap)
         W2, _ = scale_columns(W2)
         return W2, H2, jnp.mean(sw_h.astype(jnp.float32)), \
             jnp.mean(sw_w.astype(jnp.float32))
 
+    # replay with the SAME adaptive sweep schedule the timed loop ran
+    from singlet_tpu.ops.nnls import CD_MAX_SWEEPS, sweep_cap_update
+
     Wi, Hi = W0, H0
+    exact = jnp.bool_(False)
+    tol_prev = jnp.float32(1.0)
     sw_h_t, sw_w_t = [], []
-    for it in range(2 + iters):
-        Wi, Hi, sh, sw = inst_step(Ap, Atp, Wi, Hi)
-        if it >= 2:                       # match the timed iterations
-            sw_h_t.append(float(sh))
-            sw_w_t.append(float(sw))
+    for it in range(iters):
+        cap, exact = sweep_cap_update(exact, tol_prev, jnp.float32(0.0))
+        cap = jnp.float32(CD_MAX_SWEEPS) if cap is None else cap
+        Wi, Hi, sh, sw = inst_step(Ap, Atp, Wi, Hi, cap)
+        tol_prev = jnp.float32(float(tols[it]))
+        sw_h_t.append(float(sh))
+        sw_w_t.append(float(sw))
     sweeps_h = float(np.mean(sw_h_t))     # mean sweeps/column, h-updates
     sweeps_w = float(np.mean(sw_w_t))     # mean sweeps/column, w-updates
 

@@ -46,7 +46,7 @@ def main():
     def run(n_steps):
         out = loop(data.b_li, data.b_val, data.nonempty, data.gene_nonempty,
                    W0, H0, 0.01, 0.01, 0.0, 0.0, jnp.float32(0.0),
-                   jnp.int32(n_steps))
+                   jnp.int32(n_steps), jnp.float32(1.0), jnp.bool_(False))
         return int(out[3])   # scalar fetch = real sync through the relay
 
     t0 = time.perf_counter()

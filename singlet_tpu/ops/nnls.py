@@ -40,11 +40,65 @@ import jax.numpy as jnp
 CD_TOL = 1e-8
 # The reference caps CD at 100 sweeps/solve (reference:src/singlet.cpp:233)
 # and pbmc3k h-updates actually hit that cap, so inner sweeps dominate ALS
-# compute. SINGLET_TPU_MAX_SWEEPS opts into inexact inner solves
+# compute. SINGLET_TPU_MAX_SWEEPS opts into a STATIC inexact cap
 # (HALS-style): cap=8 measured 3.6x faster ALS wall-clock at +0.2% train
-# MSE on pbmc3k (outer tol decays a little slower). Default preserves
-# reference-exact semantics.
+# MSE on pbmc3k (outer tol decays a little slower).
 CD_MAX_SWEEPS = int(os.environ.get("SINGLET_TPU_MAX_SWEEPS", "100"))
+
+# Adaptive inner-solve exactness (the DEFAULT since round 4): while the
+# outer ALS iterate is far from convergence the inner CD solves are capped
+# at CD_FAST_SWEEPS (exactness there is wasted — the warm-started
+# fixed-point damping absorbs it; see sweep_cap_schedule), and once the
+# outer tol first drops under the exactness threshold every remaining
+# iteration runs the full reference cap, so the fit finishes at the
+# reference's fixed point. SINGLET_TPU_SWEEPS=reference restores
+# unconditional full-sweep solves; an integer value forces that constant
+# cap for every iteration. Guards: benchmarks/precision_invariance.py
+# (pbmc3k CV curve + selected rank + final MSE) and the mesh-vs-dense
+# equivalence tests (both sides share the schedule).
+SWEEP_MODE = os.environ.get("SINGLET_TPU_SWEEPS", "adaptive").lower()
+# Fast-phase caps, separately for plain and masked (CV/rank-search) fits.
+# Plain fits tolerate an aggressive cap: only the converged endpoint is
+# consumed, and the latched exact phase restores reference sweeps there
+# (final MSE within run-to-run variance; precision_invariance.py).
+# Masked fits are the reference's rank-determination path — their
+# MID-TRAJECTORY test-MSE traces are consumed (GetBestRank, overfit early
+# stop), and fits that early-stop never reach the exact phase, so the cap
+# must be gentle enough that the pbmc3k CV curve and selected rank do not
+# move. cap=8 measured a 0.8% curve shift that flipped the rank on the
+# flat pbmc3k shelf; the default below is the measured largest cap that
+# keeps the guard green.
+CD_FAST_SWEEPS = int(os.environ.get("SINGLET_TPU_FAST_SWEEPS", "8"))
+CD_FAST_SWEEPS_MASKED = int(os.environ.get(
+    "SINGLET_TPU_FAST_SWEEPS_MASKED", "32"))
+# absolute floor for the exact phase: with tol_target == 0 (maxit-bound
+# runs) the relative rule alone would never leave the fast phase
+CD_EXACT_TOL = 1e-4
+
+
+def sweep_cap_update(exact, tol_prev, tol_target, masked: bool = False):
+    """One step of the adaptive sweep schedule: ``(sweep_cap, exact_next)``.
+
+    ``exact`` is the fit loop's latched exact-phase flag (traced bool,
+    starts False); ``tol_prev`` the previous outer iteration's convergence
+    metric (starts 1.0); ``tol_target`` the fit's tol; ``masked`` (static)
+    selects the gentler fast cap for CV/rank-search fits. The latch fires
+    when tol_prev first drops to ``max(10 * tol_target, CD_EXACT_TOL)`` and
+    never releases — the cap change perturbs the ALS step size, so an
+    unlatched rule could flap around the threshold. The returned cap is
+    None when the mode is ``reference`` (no traced cap — full static
+    behavior).
+    """
+    if SWEEP_MODE == "reference":
+        return None, exact
+    if SWEEP_MODE != "adaptive":
+        return jnp.float32(int(SWEEP_MODE)), exact
+    fast = CD_FAST_SWEEPS_MASKED if masked else CD_FAST_SWEEPS
+    thresh = jnp.maximum(10.0 * jnp.asarray(tol_target, jnp.float32),
+                         CD_EXACT_TOL)
+    exact = exact | (jnp.asarray(tol_prev, jnp.float32) <= thresh)
+    cap = jnp.where(exact, jnp.float32(CD_MAX_SWEEPS), jnp.float32(fast))
+    return cap, exact
 
 
 @partial(jax.jit, static_argnames=("max_sweeps", "return_sweeps"))
@@ -58,6 +112,7 @@ def nnls_batch(
     max_sweeps: int = CD_MAX_SWEEPS,
     n_coord=None,
     return_sweeps: bool = False,
+    sweep_cap=None,
 ) -> jnp.ndarray:
     """Solve n independent NNLS systems a_c x_c = b_c, x_c >= 0, warm-started.
 
@@ -82,6 +137,9 @@ def nnls_batch(
         number of CD sweeps each column ran before converging/capping.
         Instrumentation for honest FLOP accounting (bench.py); adds one
         masked add per sweep.
+      sweep_cap: optional TRACED scalar capping the sweep count below the
+        static ``max_sweeps`` (the adaptive inexact-solve schedule,
+        ``sweep_cap_update``). None = no traced cap.
 
     Returns:
       X, shape (n, k), dtype of B; with ``return_sweeps``, (X, sweeps).
@@ -143,6 +201,8 @@ def nnls_batch(
         sweep = sweep + 1
         col_sweeps = col_sweeps + active.astype(jnp.int32)
         active = active & (tol_sweep / k_div > CD_TOL) & (sweep < max_sweeps)
+        if sweep_cap is not None:
+            active = active & (sweep.astype(jnp.float32) < sweep_cap)
         return X, Bres, active, sweep, col_sweeps
 
     def cond(carry):
@@ -169,7 +229,7 @@ def _batched_a_block_cap(k: int) -> int:
 
 def solve_nnls_packed(a_full, packed, iu, B, X0, L1=0.0, L2=0.0,
                       update_mask=None, max_sweeps: int = CD_MAX_SWEEPS,
-                      n_coord=None):
+                      n_coord=None, sweep_cap=None):
     """Per-column NNLS where each column's Gram is ``a_full`` minus a
     packed-triangle correction (the masked-CV formulation,
     reference:src/singlet.cpp:460-464: ``a_i = AAt(w) - AAt(w[:, idx])``).
@@ -194,14 +254,49 @@ def solve_nnls_packed(a_full, packed, iu, B, X0, L1=0.0, L2=0.0,
         return nnls_batch_pallas_batched_at(at, B, X0, L1=L1, L2=L2,
                                             update_mask=update_mask,
                                             max_sweeps=max_sweeps,
-                                            block=block, n_coord=n_coord)
+                                            block=block, n_coord=n_coord,
+                                            sweep_cap=sweep_cap)
     a = a_full[None] - unpack_sym(packed, k, iu)
     return nnls_batch(a, B, X0, L1=L1, L2=L2, update_mask=update_mask,
-                      max_sweeps=max_sweeps, n_coord=n_coord)
+                      max_sweeps=max_sweeps, n_coord=n_coord,
+                      sweep_cap=sweep_cap)
+
+
+def solve_nnls_packed_t(a_full, packed_t, iu, B, X0, L1=0.0, L2=0.0,
+                        update_mask=None, max_sweeps: int = CD_MAX_SWEEPS,
+                        n_coord=None, sweep_cap=None):
+    """:func:`solve_nnls_packed` with the packed corrections TRANSPOSED —
+    ``packed_t`` (np_pad, n), possibly pair-padded (ops/linalg.py:pad_pairs)
+    — the orientation the fused masked-product kernels emit
+    (ops/pallas_maskgram.py). On TPU the coordinate-tile Grams come from a
+    single static row-gather (``unpack_sym_from_t``): no transpose of the
+    packed array exists anywhere between the mask product and the CD solve.
+    """
+    from singlet_tpu.ops.linalg import unpack_sym_from_t
+
+    n, k = B.shape
+    l1_is_array = isinstance(L1, jnp.ndarray) and getattr(L1, "ndim", 0) == 2
+    at = unpack_sym_from_t(packed_t, k, iu, a_full)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not l1_is_array and B.dtype == jnp.float32 and n % 128 == 0:
+        from singlet_tpu.ops.pallas_nnls import nnls_batch_pallas_batched_at
+
+        block = next(b for b in (1024, 512, 256, 128)
+                     if n % b == 0 and b <= _batched_a_block_cap(k))
+        return nnls_batch_pallas_batched_at(at, B, X0, L1=L1, L2=L2,
+                                            update_mask=update_mask,
+                                            max_sweeps=max_sweeps,
+                                            block=block, n_coord=n_coord,
+                                            sweep_cap=sweep_cap)
+    a = jnp.transpose(at, (2, 1, 0))
+    return nnls_batch(a, B, X0, L1=L1, L2=L2, update_mask=update_mask,
+                      max_sweeps=max_sweeps, n_coord=n_coord,
+                      sweep_cap=sweep_cap)
 
 
 def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
-               max_sweeps: int = CD_MAX_SWEEPS, n_coord=None):
+               max_sweeps: int = CD_MAX_SWEEPS, n_coord=None,
+               sweep_cap=None):
     """Backend dispatcher: fused Pallas kernels on TPU (8-10x faster than the
     op-by-op XLA path), XLA everywhere else. Semantics are identical
     (validated bitwise in tests)."""
@@ -225,12 +320,14 @@ def solve_nnls(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
             return nnls_batch_pallas(a, B, X0, L1=L1, L2=L2,
                                      update_mask=update_mask,
                                      max_sweeps=max_sweeps, block=block,
-                                     n_coord=n_coord)
+                                     n_coord=n_coord, sweep_cap=sweep_cap)
         block = next(b for b in (1024, 512, 256, 128)
                      if n % b == 0 and b <= _batched_a_block_cap(k))
         return nnls_batch_pallas_batched_a(a, B, X0, L1=L1, L2=L2,
                                            update_mask=update_mask,
                                            max_sweeps=max_sweeps, block=block,
-                                           n_coord=n_coord)
+                                           n_coord=n_coord,
+                                           sweep_cap=sweep_cap)
     return nnls_batch(a, B, X0, L1=L1, L2=L2, update_mask=update_mask,
-                      max_sweeps=max_sweeps, n_coord=n_coord)
+                      max_sweeps=max_sweeps, n_coord=n_coord,
+                      sweep_cap=sweep_cap)

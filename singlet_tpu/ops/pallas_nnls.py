@@ -70,13 +70,14 @@ def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
     k_div = scalars_ref[2]   # convergence divisor (k_true under bucketing)
+    cap = scalars_ref[3]     # traced sweep cap (adaptive schedule)
 
     Xout_ref[:, :] = X0t_ref[:, :]
     Delta_ref[:, :] = jnp.zeros_like(Delta_ref)
     active_ref[:, :] = mask_ref[:, :]
     flag_ref[0] = jnp.int32(1)  # block has active columns
 
-    def sweep(_, carry):
+    def sweep(s, carry):
         @pl.when(flag_ref[0] > 0)
         def _():
             act = active_ref[0, :]
@@ -106,7 +107,8 @@ def _nnls_kernel(scalars_ref, inv_ref, a_ref, Bt_ref, X0t_ref, mask_ref,
                     Delta_ref[i, :] = Delta_ref[i, :] + delta
                     tol_terms.append(jnp.abs(delta) / (x_new + 1e-15))
             tol = _tree_sum(tol_terms)
-            still = (act > 0) & (tol / k_div > CD_TOL)
+            still = (act > 0) & (tol / k_div > CD_TOL) \
+                & ((s + 1).astype(jnp.float32) < cap)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
 
@@ -127,13 +129,14 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
     L1 = scalars_ref[0]
     L2 = scalars_ref[1]
     k_div = scalars_ref[2]   # convergence divisor (k_true under bucketing)
+    cap = scalars_ref[3]     # traced sweep cap (adaptive schedule)
 
     Xout_ref[:, :] = X0t_ref[:, :]
     Bres_ref[:, :] = Bt_ref[:, :]
     active_ref[:, :] = mask_ref[:, :]
     flag_ref[0] = jnp.int32(1)
 
-    def sweep(_, carry):
+    def sweep(s, carry):
         @pl.when(flag_ref[0] > 0)
         def _():
             act = active_ref[0, :]
@@ -148,7 +151,8 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
                 Xout_ref[i, :] = x_new
                 tol_terms.append(jnp.abs(delta) / (x_new + 1e-15))
             tol = _tree_sum(tol_terms)
-            still = (act > 0) & (tol / k_div > CD_TOL)
+            still = (act > 0) & (tol / k_div > CD_TOL) \
+                & ((s + 1).astype(jnp.float32) < cap)
             active_ref[0, :] = still.astype(jnp.float32)
             flag_ref[0] = jnp.any(still).astype(jnp.int32)
 
@@ -157,12 +161,22 @@ def _nnls_kernel_batched(scalars_ref, idiag_ref, at_ref, Bt_ref, X0t_ref,
     jax.lax.fori_loop(0, max_sweeps, sweep, 0)
 
 
+def _cap_scalar(sweep_cap, max_sweeps, dtype):
+    """The kernel's 4th SMEM scalar: the traced sweep cap (adaptive
+    schedule), clamped to the static loop bound; the static bound itself
+    when no traced cap is active."""
+    if sweep_cap is None:
+        return jnp.asarray(max_sweeps, dtype)
+    return jnp.minimum(jnp.asarray(sweep_cap, jnp.float32),
+                       max_sweeps).astype(dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_sweeps", "block", "interpret"))
 def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                                 max_sweeps: int = CD_MAX_SWEEPS,
                                 block: int = 256, interpret: bool = False,
-                                n_coord=None):
+                                n_coord=None, sweep_cap=None):
     """Pallas CD-NNLS with a per-column Gram batch a: (n, k, k)."""
     n, k = B.shape
     assert a.ndim == 3 and a.shape == (n, k, k)
@@ -173,7 +187,7 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
     return nnls_batch_pallas_batched_at(
         at, B, X0, L1=L1, L2=L2, update_mask=update_mask,
         max_sweeps=max_sweeps, block=block, interpret=interpret,
-        n_coord=n_coord)
+        n_coord=n_coord, sweep_cap=sweep_cap)
 
 
 @functools.partial(jax.jit,
@@ -181,7 +195,7 @@ def nnls_batch_pallas_batched_a(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
 def nnls_batch_pallas_batched_at(at, B, X0, L1=0.0, L2=0.0, update_mask=None,
                                  max_sweeps: int = CD_MAX_SWEEPS,
                                  block: int = 256, interpret: bool = False,
-                                 n_coord=None):
+                                 n_coord=None, sweep_cap=None):
     """Pallas CD-NNLS with per-column Grams ALREADY in the coordinate-tile
     layout ``at`` (k, k, n) with ``at[i, j, c] = a_c[j, i]`` — the layout
     the kernel consumes. Producers that can emit this directly (the masked
@@ -205,7 +219,8 @@ def nnls_batch_pallas_batched_at(at, B, X0, L1=0.0, L2=0.0, update_mask=None,
     k_div = jnp.float32(k) if n_coord is None else \
         jnp.asarray(n_coord, jnp.float32)
     scalars = jnp.stack([jnp.asarray(L1, dtype), jnp.asarray(L2, dtype),
-                         k_div.astype(dtype)])
+                         k_div.astype(dtype),
+                         _cap_scalar(sweep_cap, max_sweeps, dtype)])
 
     grid = (n // block,)
     # the (k, k, block) Gram tile dominates VMEM; the pipeline double-buffers
@@ -250,7 +265,8 @@ def nnls_batch_pallas_batched_at(at, B, X0, L1=0.0, L2=0.0, update_mask=None,
                    static_argnames=("max_sweeps", "block", "g", "interpret"))
 def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
                       max_sweeps: int = CD_MAX_SWEEPS, block: int = 4096,
-                      g: int = 16, interpret: bool = False, n_coord=None):
+                      g: int = 16, interpret: bool = False, n_coord=None,
+                      sweep_cap=None):
     """Pallas-fused equivalent of ops.nnls.nnls_batch for a shared (k,k) Gram.
 
     a: (k, k); B, X0: (n, k) with n a multiple of `block`; `g` is the
@@ -272,7 +288,8 @@ def nnls_batch_pallas(a, B, X0, L1=0.0, L2=0.0, update_mask=None,
     k_div = jnp.float32(k) if n_coord is None else \
         jnp.asarray(n_coord, jnp.float32)
     scalars = jnp.stack([jnp.asarray(L1, dtype), jnp.asarray(L2, dtype),
-                         k_div.astype(dtype)])
+                         k_div.astype(dtype),
+                         _cap_scalar(sweep_cap, max_sweeps, dtype)])
 
     grid = (n // block,)
     out = pl.pallas_call(

@@ -41,11 +41,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from singlet_tpu.ops.linalg import (
     MM_PRECISION,
     cor_distance,
-    mask_dot,
+    mask_dot_t,
     packed_outer_products,
     triu_pairs,
 )
-from singlet_tpu.ops.nnls import solve_nnls, solve_nnls_packed
+from singlet_tpu.ops.nnls import (solve_nnls, solve_nnls_packed_t,
+                                  sweep_cap_update)
 from singlet_tpu.ops.rngmask import mask_block, seed_pair
 
 AXIS = "cells"
@@ -137,13 +138,14 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
         return dev * cells_local + jnp.arange(cells_local)
 
     # ------------------------------------------------------------- plain
-    def _plain(A_loc, ne_loc, W, H_loc, L1_h, L1_w, L2_h, L2_w):
+    def _plain(A_loc, ne_loc, W, H_loc, L1_h, L1_w, L2_h, L2_w,
+               sweep_cap=None):
         k = W.shape[1]
         # h-update: fully local (W replicated, so its Gram is too)
         a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         B_h = jnp.dot(A_loc.T, W, precision=MM_PRECISION)
         H_loc = solve_nnls(a_w, B_h, H_loc, L1=L1_h, L2=L2_h,
-                           update_mask=ne_loc)
+                           update_mask=ne_loc, sweep_cap=sweep_cap)
         d = jax.lax.psum(jnp.sum(H_loc, axis=0), AXIS) + 1e-15
         H_loc = H_loc / d[None, :]
         # w-update: psum partial products over cells
@@ -153,14 +155,14 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
         gene_ne = jnp.any(A_loc != 0, axis=1)
         gene_ne = jax.lax.psum(gene_ne.astype(jnp.int32), AXIS) > 0
         W_new = solve_nnls(a_h, B_w, W, L1=L1_w, L2=L2_w,
-                           update_mask=gene_ne)
+                           update_mask=gene_ne, sweep_cap=sweep_cap)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
         tol = cor_distance(W_new[:genes_true], W[:genes_true])
         return W_new, H_loc, d, tol
 
     # ------------------------------------------------------------ masked
-    def _masked(A_loc, ne_loc, W, H_loc, seed, L1, L2):
+    def _masked(A_loc, ne_loc, W, H_loc, seed, L1, L2, sweep_cap=None):
         k = W.shape[1]
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
@@ -180,11 +182,12 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             tile = jax.lax.dynamic_slice_in_dim(A_loc, start, cell_block, 1)
             keep = jnp.where(m.T, 0.0, 1.0).astype(W.dtype)
             B = jnp.dot((tile * keep).T, W, precision=MM_PRECISION)
-            packed = mask_dot(m.astype(W.dtype), Pw)
+            packed_t = mask_dot_t(Pw, m.astype(W.dtype), 1)
             Y0 = jax.lax.dynamic_slice_in_dim(H_loc, start, cell_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(ne_loc, start, cell_block, 0)
-            return None, solve_nnls_packed(a_full, packed, iu, B, Y0,
-                                           L1=L1, L2=L2, update_mask=ne)
+            return None, solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
+                                             L1=L1, L2=L2, update_mask=ne,
+                                             sweep_cap=sweep_cap)
 
         _, Hs = jax.lax.scan(h_blk, None, jnp.arange(cells_local // cell_block))
         H_new = Hs.reshape(cells_local, k)
@@ -206,11 +209,13 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
             keep = jnp.where(m, 0.0, 1.0).astype(W.dtype)
             B = jax.lax.psum(
                 jnp.dot(tile * keep, H_new, precision=MM_PRECISION), AXIS)
-            packed = jax.lax.psum(mask_dot(m.astype(W.dtype), Ph), AXIS)
+            packed_t = jax.lax.psum(mask_dot_t(Ph, m.astype(W.dtype), 1),
+                                    AXIS)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            return None, solve_nnls_packed(a_h, packed, iu, B, Y0,
-                                           L1=L1, L2=L2, update_mask=ne)
+            return None, solve_nnls_packed_t(a_h, packed_t, iu, B, Y0,
+                                             L1=L1, L2=L2, update_mask=ne,
+                                             sweep_cap=sweep_cap)
 
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         W_new = Ws.reshape(genes_pad, k)
@@ -244,15 +249,23 @@ def build_sharded_steps(mesh: Mesh, *, genes_true: int, cells_true: int,
                               jnp.arange(cells_local // cell_block))
         return jax.lax.psum(acc, AXIS) / cells_true
 
+    # trailing sweep_cap (traced scalar) = the adaptive inexact-solve
+    # schedule, so the host fit loop matches the fused single-chip engine
+    def _plain_w(*a):
+        return _plain(*a[:-1], sweep_cap=a[-1])
+
+    def _masked_w(*a):
+        return _masked(*a[:-1], sweep_cap=a[-1])
+
     plain_step = jax.jit(jax.shard_map(
-        _plain, mesh=mesh,
-        in_specs=in_specs_common + (P(), P(), P(), P()),
+        _plain_w, mesh=mesh,
+        in_specs=in_specs_common + (P(), P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P()),
         check_vma=False,
     ))
     masked_step = jax.jit(jax.shard_map(
-        _masked, mesh=mesh,
-        in_specs=in_specs_common + (P(None), P(), P()),
+        _masked_w, mesh=mesh,
+        in_specs=in_specs_common + (P(None), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P()),
         check_vma=False,
     ))
@@ -306,14 +319,20 @@ def sharded_nmf_fit(A: np.ndarray, k: int, mesh: Optional[Mesh] = None,
     tol_ = 1.0
     traces = []
     it = 0
+    exact = jnp.bool_(False)   # adaptive-sweep exact-phase latch
     while it < maxit and tol_ > tol:
+        cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                      jnp.float32(tol), masked=bool(masked))
+        cap = jnp.float32(1e9) if cap is None else cap
         if masked:
             W, H, d, tol_j = masked_step(data.A, data.nonempty, W, H, sp,
-                                         jnp.float32(L1), jnp.float32(L2))
+                                         jnp.float32(L1), jnp.float32(L2),
+                                         cap)
         else:
             W, H, d, tol_j = plain_step(data.A, data.nonempty, W, H,
                                         jnp.float32(L1), jnp.float32(L1),
-                                        jnp.float32(L2), jnp.float32(L2))
+                                        jnp.float32(L2), jnp.float32(L2),
+                                        cap)
         tol_ = float(tol_j)
         traces.append(tol_)
         if verbose:

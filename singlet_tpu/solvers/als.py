@@ -37,13 +37,14 @@ from singlet_tpu.ops.linalg import (
     MM_PRECISION,
     cor_distance,
     gram,
-    mask_dot,
+    mask_dot_t,
     packed_outer_products,
     scale_columns,
     triu_pairs,
 )
 from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
-from singlet_tpu.ops.nnls import solve_nnls, solve_nnls_packed
+from singlet_tpu.ops.nnls import (solve_nnls, solve_nnls_packed_t,
+                                  sweep_cap_update)
 from singlet_tpu.ops.rngmask import seed_pair
 from singlet_tpu.sparse.matrix import DenseMatrix
 from singlet_tpu.tracing import get_metric_logger
@@ -112,7 +113,8 @@ def make_dense_providers(A, cell_block: int = 2048,
 # Half-updates
 # --------------------------------------------------------------------------
 
-def _half_update(P: DenseMatrix, X, Y_warm, L1, L2, link=None):
+def _half_update(P: DenseMatrix, X, Y_warm, L1, L2, link=None,
+                 sweep_cap=None):
     """Unmasked half-update: solve P's columns against factor matrix X.
 
     Equivalent of ``predict`` / ``predict_link``
@@ -122,11 +124,13 @@ def _half_update(P: DenseMatrix, X, Y_warm, L1, L2, link=None):
     B = P.t_matmul(X)
     if link is not None:
         B = B * link
-    return solve_nnls(a, B, Y_warm, L1=L1, L2=L2, update_mask=P.nonempty)
+    return solve_nnls(a, B, Y_warm, L1=L1, L2=L2, update_mask=P.nonempty,
+                      sweep_cap=sweep_cap)
 
 
 def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
-                        inv_density: int, block: int, n_coord=None):
+                        inv_density: int, block: int, n_coord=None,
+                        sweep_cap=None):
     """Masked half-update over column blocks (reference:src/singlet.cpp:436-466)."""
     k = X.shape[1]
     a_full = gram(X)
@@ -142,11 +146,12 @@ def _half_update_masked(P: DenseMatrix, X, Y_warm, seed, L1, L2,
         tile = P.col_block(col_start, block)                     # (rows, blk)
         keep = jnp.where(m.T, jnp.zeros((), X.dtype), jnp.ones((), X.dtype))
         B = jnp.dot((tile * keep).T, X, precision=MM_PRECISION)  # (blk, k)
-        packed = mask_dot(m.astype(X.dtype), P_pairs)
+        packed_t = mask_dot_t(P_pairs, m.astype(X.dtype), 1)
         Y0 = jax.lax.dynamic_slice_in_dim(Y_warm, col_start, block, axis=0)
         ne = jax.lax.dynamic_slice_in_dim(P.nonempty, col_start, block, axis=0)
-        Y = solve_nnls_packed(a_full, packed, iu, B, Y0, L1=L1, L2=L2,
-                              update_mask=ne, n_coord=n_coord)
+        Y = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0, L1=L1, L2=L2,
+                                update_mask=ne, n_coord=n_coord,
+                                sweep_cap=sweep_cap)
         return None, Y
 
     _, Ys = jax.lax.scan(body, None, jnp.arange(n_blocks))
@@ -185,14 +190,15 @@ def mse_test(A: DenseMatrix, W, d, H, seed, inv_density: int, block: int):
 
 @jax.jit
 def als_step(A: DenseMatrix, At: DenseMatrix, W, H, L1_h, L1_w, L2_h, L2_w,
-             link_h=None, link_w=None):
+             link_h=None, link_w=None, sweep_cap=None):
     """One ALS iteration: h-update, rescale, w-update, rescale, tol.
 
     reference:src/singlet.cpp:647-664 (c_nmf_base) and :1073-1084 (linked).
     """
-    H = _half_update(A, W, H, L1_h, L2_h, link=link_h)
+    H = _half_update(A, W, H, L1_h, L2_h, link=link_h, sweep_cap=sweep_cap)
     H, d = scale_columns(H)
-    W_new = _half_update(At, H, W, L1_w, L2_w, link=link_w)
+    W_new = _half_update(At, H, W, L1_w, L2_w, link=link_w,
+                         sweep_cap=sweep_cap)
     W_new, d = scale_columns(W_new)
     tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true])
     return W_new, H, d, tol
@@ -201,7 +207,7 @@ def als_step(A: DenseMatrix, At: DenseMatrix, W, H, L1_h, L1_w, L2_h, L2_w,
 @partial(jax.jit, static_argnames=("inv_density", "cell_block", "gene_block"))
 def als_step_masked(A: DenseMatrix, At: DenseMatrix, W, H, seed, L1, L2,
                     inv_density: int, cell_block: int, gene_block: int,
-                    k_true=None):
+                    k_true=None, sweep_cap=None):
     """One masked ALS iteration (reference:src/singlet.cpp:1107-1114).
 
     ``k_true`` (traced int scalar) supports rank bucketing: W/H may carry
@@ -211,10 +217,10 @@ def als_step_masked(A: DenseMatrix, At: DenseMatrix, W, H, seed, L1, L2,
     """
     n_coord = None if k_true is None else jnp.asarray(k_true, jnp.float32)
     H = _half_update_masked(A, W, H, seed, L1, L2, inv_density, cell_block,
-                            n_coord)
+                            n_coord, sweep_cap=sweep_cap)
     H, d = scale_columns(H)
     W_new = _half_update_masked(At, H, W, seed, L1, L2, inv_density,
-                                gene_block, n_coord)
+                                gene_block, n_coord, sweep_cap=sweep_cap)
     W_new, d = scale_columns(W_new)
     n_true = None if k_true is None else At.cols_true * k_true
     tol = cor_distance(W_new[: At.cols_true], W[: At.cols_true], n_true)
@@ -240,21 +246,23 @@ def _fit_loop_device(A: DenseMatrix, At: DenseMatrix, W, H, L1_h, L1_w,
     k = W.shape[1]
 
     def cond(st):
-        it, _, _, _, tolv, _ = st
+        it, _, _, _, tolv, _, _ = st
         return (it < maxit) & (tolv > tol_target)
 
     def body(st):
-        it, W, H, d, _, tols = st
+        it, W, H, d, tolv, exact, tols = st
+        cap, exact = sweep_cap_update(exact, tolv, tol_target)
         W, H, d, tolv = als_step(A, At, W, H, L1_h, L1_w, L2_h, L2_w,
-                                 link_h, link_w)
+                                 link_h, link_w, sweep_cap=cap)
         tols = tols.at[it].set(tolv)
-        return (it + 1, W, H, d, tolv, tols)
+        return (it + 1, W, H, d, tolv, exact, tols)
 
     # tol starts at 1.0 exactly like the host loop, so a tol_target >= 1
     # yields zero iterations in both paths
     st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
-           jnp.float32(1.0), jnp.full((maxit,), jnp.nan, jnp.float32))
-    it, W, H, d, _, tols = jax.lax.while_loop(cond, body, st0)
+           jnp.float32(1.0), jnp.bool_(False),
+           jnp.full((maxit,), jnp.nan, jnp.float32))
+    it, W, H, d, _, _, tols = jax.lax.while_loop(cond, body, st0)
     return W, H, d, it, tols
 
 
@@ -383,12 +391,20 @@ def nmf_fit(
                 print(f"{i + 1:4d} | {t:8.2e}")
         tol_ = tol_trace[-1] if tol_trace else 1.0
     else:
+        # host-side twin of the fused loop's exact-phase latch; after a
+        # checkpoint resume the latch state is recovered from the saved tol
+        # trace (it would have fired iff any past tol crossed the threshold)
+        from singlet_tpu.ops.nnls import CD_EXACT_TOL
+        thresh_ = max(10.0 * tol, CD_EXACT_TOL)
+        exact = jnp.bool_(any(t <= thresh_ for t in tol_trace))
         for it in range(start_it, maxit):
             if tol_ <= tol:
                 break
             t0 = time.perf_counter()
+            cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                          jnp.float32(tol))
             W, H, d, tol_j = als_step(Ap, Atp, W, H, L1_h, L1_w, L2_h, L2_w,
-                                      link_h, link_w)
+                                      link_h, link_w, sweep_cap=cap)
             tol_ = float(tol_j)
             tol_trace.append(tol_)
             logger.log("iteration", fit=fit_id, iter=it + 1, tol=tol_,

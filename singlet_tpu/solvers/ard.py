@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
+from singlet_tpu.ops.nnls import CD_EXACT_TOL, sweep_cap_update
 from singlet_tpu.ops.rngmask import seed_pair
 from singlet_tpu.tracing import get_metric_logger
 from singlet_tpu.solvers.als import (
@@ -53,11 +54,13 @@ def _ard_loop_device(Ap, Atp, W, H, sp, L1, L2, inv_density: int,
         return (~stopped) & (it < maxit) & (tolv > tol_target)
 
     def body(st):
-        (it, W, H, d, _, stopped, min_err, n_tr, tmse, t_iters, scores,
-         tols) = st
+        (it, W, H, d, tolv, stopped, min_err, n_tr, tmse, t_iters, scores,
+         tols, exact) = st
+        cap, exact = sweep_cap_update(exact, tolv, tol_target,
+                                      masked=True)
         W, H, d, tolv = als_step_masked(Ap, Atp, W, H, sp, L1, L2,
                                         inv_density, cell_block, gene_block,
-                                        k_true)
+                                        k_true, sweep_cap=cap)
         tols = tols.at[it].set(tolv)
 
         def with_trace(args):
@@ -77,16 +80,16 @@ def _ard_loop_device(Ap, Atp, W, H, sp, L1, L2, inv_density: int,
             (min_err, n_tr, tmse, t_iters, scores, stopped))
         it = jnp.where(stopped, it, it + 1)   # reference: break before it+=1
         return (it, W, H, d, tolv, stopped, min_err, n_tr, tmse, t_iters,
-                scores, tols)
+                scores, tols, exact)
 
     st0 = (jnp.int32(0), W, H, jnp.ones((W.shape[1],), W.dtype),
            jnp.float32(1.0), jnp.bool_(False), jnp.float32(jnp.inf),
            jnp.int32(0), jnp.full((max_traces,), nanf),
            jnp.full((max_traces,), -1, jnp.int32),
            jnp.full((max_traces,), nanf),
-           jnp.full((maxit,), nanf))
+           jnp.full((maxit,), nanf), jnp.bool_(False))
     (it, W, H, d, _, stopped, _, n_tr, tmse, t_iters, scores,
-     tols) = jax.lax.while_loop(cond, body, st0)
+     tols, _) = jax.lax.while_loop(cond, body, st0)
     return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
 
 
@@ -230,11 +233,17 @@ def ard_nmf_fit(
                            tol=float(tols_np[i]), ms=per_ms)
                 vprint(verbose, 3, f"{i + 1:4d} | {tols_np[i]:8.2e} |        -")
 
+    # host-side twin of the fused loop's exact-phase latch, recovered from
+    # the saved tol trace after a checkpoint resume
+    thresh_ = max(10.0 * tol, CD_EXACT_TOL)
+    exact = jnp.bool_(any(t <= thresh_ for t in tol_t))
     while mgr is not None and it < maxit and tol_ > tol:
         t0 = time.perf_counter()
+        cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                      jnp.float32(tol), masked=True)
         W, H, d, tol_j = als_step_masked(
             Ap, Atp, W, H, sp, L1, L2, inv_density, cell_block, gene_block,
-            k_true,
+            k_true, sweep_cap=cap,
         )
         tol_ = float(tol_j)
         ms = round((time.perf_counter() - t0) * 1e3, 3)

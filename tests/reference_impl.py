@@ -50,13 +50,13 @@ def mask_matrix(seed, n_genes, n_cells, inv_density):
 
 
 # --- CD NNLS (reference:src/singlet.cpp:229-250) ---------------------------
-def nnls_cd(a, b, x, L1=0.0, L2=0.0):
+def nnls_cd(a, b, x, L1=0.0, L2=0.0, max_sweeps=100):
     b = b.astype(np.float64).copy()
     x = x.astype(np.float64).copy()
     k = b.size
     tol = 1.0
     it = 0
-    while it < 100 and tol / k > 1e-8:
+    while it < max_sweeps and tol / k > 1e-8:
         tol = 0.0
         for i in range(k):
             diff = b[i] / a[i, i]
@@ -97,7 +97,7 @@ def cor_distance(x, y):
 
 
 # --- dense predict (reference:src/singlet.cpp:370-381) ---------------------
-def predict(A, w, h, L1, L2, link=None, skip_empty=False):
+def predict(A, w, h, L1, L2, link=None, skip_empty=False, max_sweeps=100):
     a = AAt(w)
     for i in range(A.shape[1]):
         if skip_empty and not np.any(A[:, i]):
@@ -105,12 +105,33 @@ def predict(A, w, h, L1, L2, link=None, skip_empty=False):
         b = w @ A[:, i]
         if link is not None:
             b = b * link[:, i]
-        h[:, i] = nnls_cd(a, b, h[:, i], L1, L2)
+        h[:, i] = nnls_cd(a, b, h[:, i], L1, L2, max_sweeps=max_sweeps)
     return h
 
 
+# --- adaptive inexact-solve schedule (singlet_tpu.ops.nnls) -----------------
+class SweepSchedule:
+    """f64 twin of singlet_tpu.ops.nnls.sweep_cap_update: inner CD solves
+    are capped at ``fast`` sweeps until the outer tol first drops under
+    max(10 * tol_target, 1e-4); from then on (latched) the full cap runs.
+    Mirrors the TPU engines' DEFAULT so oracle trajectories stay comparable;
+    pass adaptive_sweeps=False for the reference's unconditional 100."""
+
+    def __init__(self, tol_target, fast=8, full=100, exact_tol=1e-4):
+        # fast=8 for plain fits, fast=32 for masked (CV/rank-search) fits —
+        # mirrors CD_FAST_SWEEPS / CD_FAST_SWEEPS_MASKED in ops/nnls.py
+        self.thresh = max(10.0 * tol_target, exact_tol)
+        self.fast, self.full = fast, full
+        self.exact = False
+
+    def cap(self, tol_prev):
+        self.exact = self.exact or tol_prev <= self.thresh
+        return self.full if self.exact else self.fast
+
+
 # --- masked predict (reference:src/singlet.cpp:506-531) --------------------
-def predict_mask(A, seed, inv_density, w, h, L1, L2, mask_t):
+def predict_mask(A, seed, inv_density, w, h, L1, L2, mask_t,
+                 max_sweeps=100):
     """A here is the operand being looped (A or At); mask_t=True when the
     operand columns are genes (w update)."""
     a = AAt(w)
@@ -128,7 +149,7 @@ def predict_mask(A, seed, inv_density, w, h, L1, L2, mask_t):
         a_i = a - AAt(wsub) + 1e-15 * np.eye(a.shape[0]) * 0  # AAt adds jitter once
         # note: reference computes a - AAt(wsub); AAt(wsub) carries its own
         # +1e-15 diag, so the jitters cancel to zero net on the diagonal:
-        h[:, i] = nnls_cd(a_i, b, h[:, i], L1, L2)
+        h[:, i] = nnls_cd(a_i, b, h[:, i], L1, L2, max_sweeps=max_sweeps)
     return h
 
 
@@ -149,17 +170,21 @@ def mse_test(A, w, d, h, seed, inv_density):
 
 # --- plain ALS (reference:src/singlet.cpp:639-666) -------------------------
 def nmf(A, w, tol=1e-4, maxit=100, L1_w=0.01, L1_h=0.01, L2_w=0.0, L2_h=0.0,
-        skip_empty=True):
+        skip_empty=True, adaptive_sweeps=True):
     h = np.zeros((w.shape[0], A.shape[1]))
     d = np.ones(w.shape[0])
     tol_ = 1.0
     traces = []
     it = 0
+    sched = SweepSchedule(tol) if adaptive_sweeps else None
     while it < maxit and tol_ > tol:
+        cap = sched.cap(tol_) if sched else 100
         w_it = w.copy()
-        h = predict(A, w, h, L1_h, L2_h, skip_empty=skip_empty)
+        h = predict(A, w, h, L1_h, L2_h, skip_empty=skip_empty,
+                    max_sweeps=cap)
         h, d = scale(h)
-        w = predict(A.T, h, w, L1_w, L2_w, skip_empty=skip_empty)
+        w = predict(A.T, h, w, L1_w, L2_w, skip_empty=skip_empty,
+                    max_sweeps=cap)
         w, d = scale(w)
         tol_ = cor_distance(w, w_it)
         traces.append(tol_)
@@ -169,17 +194,21 @@ def nmf(A, w, tol=1e-4, maxit=100, L1_w=0.01, L1_h=0.01, L2_w=0.0, L2_h=0.0,
 
 # --- masked ALS with traces (reference:src/singlet.cpp:1091-1152) ----------
 def ard_nmf(A, w, seed, inv_density, tol=1e-4, maxit=100, L1=0.01, L2=0.0,
-            overfit_threshold=1e-3, trace_test_mse=1):
+            overfit_threshold=1e-3, trace_test_mse=1, adaptive_sweeps=True):
     h = np.zeros((w.shape[0], A.shape[1]))
     d = np.ones(w.shape[0])
     tol_ = 1.0
     test_mse_t, iter_t, tol_t, overfit_t = [], [], [], []
     it = 0
+    sched = SweepSchedule(tol, fast=32) if adaptive_sweeps else None
     while it < maxit and tol_ > tol:
+        cap = sched.cap(tol_) if sched else 100
         w_it = w.copy()
-        h = predict_mask(A, seed, inv_density, w, h, L1, L2, mask_t=False)
+        h = predict_mask(A, seed, inv_density, w, h, L1, L2, mask_t=False,
+                         max_sweeps=cap)
         h, d = scale(h)
-        w = predict_mask(A.T, seed, inv_density, h, w, L1, L2, mask_t=True)
+        w = predict_mask(A.T, seed, inv_density, h, w, L1, L2, mask_t=True,
+                         max_sweeps=cap)
         w, d = scale(w)
         tol_ = cor_distance(w, w_it)
         broke = False

@@ -75,9 +75,17 @@ def test_fit_from_multihost_ingest_matches(rng):
     import jax.numpy as jnp
     W = jnp.zeros((sd.genes_pad, 3), jnp.float32).at[: A.shape[0]].set(w0)
     H = jnp.zeros((sd.cells_pad, 3), jnp.float32)
+    from singlet_tpu.ops.nnls import sweep_cap_update
+    exact = jnp.bool_(False)
+    tol_ = 1.0
     for _ in range(4):
+        # replicate sharded_nmf_fit's adaptive sweep schedule exactly
+        cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                      jnp.float32(0.0))
+        cap = jnp.float32(1e9) if cap is None else cap
         W, H, d, tol = plain_step(sd.A, sd.nonempty, W, H,
                                   jnp.float32(0.01), jnp.float32(0.01),
-                                  jnp.float32(0.0), jnp.float32(0.0))
+                                  jnp.float32(0.0), jnp.float32(0.0), cap)
+        tol_ = float(tol)
     np.testing.assert_allclose(np.asarray(W[: A.shape[0]]), ref["w"],
                                rtol=2e-4, atol=2e-5)
