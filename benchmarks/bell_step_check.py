@@ -35,9 +35,9 @@ plain_step, masked_step, _ = eng.steps(6)
 W, H, args, _ = eng._state(k, rng.random((1024, k)).astype(np.float32), 0)
 f32 = jnp.float32
 Wp, Hp, dp, tp = plain_step(*args, W, H, f32(0.01), f32(0.01), f32(0.0),
-                            f32(0.0))
+                            f32(0.0), f32(1e9))
 Wm, Hm, dm, tm = masked_step(*args, W, H, seed_pair(5), f32(0.01), f32(0.01),
-                             f32(0.0), f32(0.0), jnp.int32(k))
+                             f32(0.0), f32(0.0), jnp.int32(k), f32(1e9))
 np.savez(sys.argv[1], Wp=np.asarray(Wp), Hp=np.asarray(Hp),
          dp=np.asarray(dp), Wm=np.asarray(Wm), Hm=np.asarray(Hm),
          dm=np.asarray(dm))

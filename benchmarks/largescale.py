@@ -213,10 +213,11 @@ def main():
             if args.masked:
                 out = loop(*eargs, W, H, sp_, f32(0.01), f32(0.01), f32(0.0),
                            f32(0.0), jnp.int32(args.k), f32(0.0),
-                           jnp.int32(budget))
+                           jnp.int32(budget), f32(1.0), jnp.bool_(False))
             else:
                 out = loop(*eargs, W, H, f32(0.01), f32(0.01), f32(0.0),
-                           f32(0.0), f32(0.0), jnp.int32(budget))
+                           f32(0.0), f32(0.0), jnp.int32(budget),
+                           f32(1.0), jnp.bool_(False))
             int(out[3])            # scalar fetch = real device sync
             return out
 
@@ -225,7 +226,7 @@ def main():
         done = 0
         while done < args.maxit:
             b = min(chunk, args.maxit - done)
-            Wn, Hn, dn, n_it, tols = run(b)
+            Wn, Hn, dn, n_it, tols, _ = run(b)
             W, H = Wn, Hn
             done += int(n_it)
         secs = time.perf_counter() - t0

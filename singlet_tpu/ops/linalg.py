@@ -159,6 +159,48 @@ def mask_dot(x: jnp.ndarray, y: jnp.ndarray,
                                preferred_element_type=x.dtype)
 
 
+def pad_pairs(iu, np_pad: int):
+    """Pad the triangular index pairs to ``np_pad`` entries with (0, 0)
+    pairs. The padded tail of a packed-product array then holds X0*X0
+    duplicates — garbage that no consumer reads (the unpack gathers only
+    true-pair positions) — but keeps every packed axis a lane multiple so
+    the Pallas masked-product kernels never relayout."""
+    npairs = iu[0].shape[0]
+    pad = np.zeros((np_pad - npairs,), iu[0].dtype)
+    return (np.concatenate([iu[0], pad]), np.concatenate([iu[1], pad]))
+
+
+def mask_dot_t(P, m, m_contract_dim: int) -> jnp.ndarray:
+    """Transposed-output twin of :func:`mask_dot`: contract dim 0 of the
+    packed-product matrix ``P`` against ``m_contract_dim`` of the dense
+    mask ``m``, yielding the (npairs, n) orientation the Gram-correction
+    unpack consumes (``unpack_sym_from_t``) with no relayout. Same
+    precision policy as ``mask_dot``. This is the XLA (CPU/test, or
+    MASK_MM_PRECISION override) fallback of the fused in-kernel-mask
+    Pallas products (ops/pallas_maskgram.py)."""
+    dims = (((0,), (m_contract_dim,)), ((), ()))
+    if (MASK_MM_PRECISION == jax.lax.Precision.DEFAULT
+            and jax.default_backend() == "tpu"):
+        return jax.lax.dot_general(
+            P.astype(jnp.bfloat16), m.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(P, m.astype(P.dtype), dims,
+                               precision=MASK_MM_PRECISION,
+                               preferred_element_type=P.dtype)
+
+
+def unpack_sym_from_t(packed_t: jnp.ndarray, k: int, iu,
+                      a_full: jnp.ndarray) -> jnp.ndarray:
+    """Per-column Grams ``a_full - unpack(packed_c)`` in the NNLS kernel's
+    coordinate-tile layout (k, k, n), from TRANSPOSED packed corrections
+    ``packed_t`` (np_pad, n) — the orientation the fused masked-product
+    kernels emit. Pure static row-gather; pad rows (>= npairs) are never
+    indexed. The transposed-input twin of :func:`unpack_sym_t`."""
+    pos = _sym_pos(k, iu)
+    up = jnp.take(packed_t, jnp.asarray(pos.reshape(-1)), axis=0)
+    return (a_full.reshape(k * k, 1) - up).reshape(k, k, packed_t.shape[1])
+
+
 def _sym_pos(k: int, iu) -> np.ndarray:
     """(k, k) map from matrix position to packed-triangle index."""
     npairs = iu[0].shape[0]

@@ -54,13 +54,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
 from singlet_tpu.ops.linalg import (
+    MASK_MM_PRECISION,
     MM_PRECISION,
     cor_distance,
-    mask_dot,
+    mask_dot_t,
     packed_outer_products,
+    pad_pairs,
     triu_pairs,
 )
-from singlet_tpu.ops.nnls import solve_nnls, solve_nnls_packed
+from singlet_tpu.ops.nnls import (solve_nnls, solve_nnls_packed_t,
+                                  sweep_cap_update)
 from singlet_tpu.ops.rngmask import mask_block, seed_pair
 from singlet_tpu.parallel.sharded import AXIS, make_mesh
 
@@ -513,16 +516,26 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int,
     mesh = data.mesh
     specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
     link_specs = (P(AXIS, None), P(None, None)) if linked else ()
+
+    # trailing sweep_cap (traced scalar, adaptive inexact-solve schedule) so
+    # the per-step host loops (the checkpoint path) can follow the same
+    # schedule as the fused fit loops
+    def _plain_w(*a):
+        return fns["plain"](*a[:-1], sweep_cap=a[-1])
+
+    def _masked_w(*a):
+        return fns["masked"](*a[:-1], sweep_cap=a[-1])
+
     plain_step = jax.jit(jax.shard_map(
-        fns["plain"], mesh=mesh,
+        _plain_w, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None)) + link_specs
-        + (P(), P(), P(), P()),
+        + (P(), P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P()),
         check_vma=False))
     masked_step = jax.jit(jax.shard_map(
-        fns["masked"], mesh=mesh,
+        _masked_w, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None), P(None),
-                            P(), P(), P(), P(), P()),
+                            P(), P(), P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P()),
         check_vma=False))
     mse_fn = jax.jit(jax.shard_map(
@@ -534,51 +547,42 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int,
     return plain_step, masked_step, mse_fn
 
 
-def _build_local_fns(data: ShardedEllData, inv_density: int,
-                     linked: bool = False):
-    """Per-device (shard_map body) functions shared by single steps and the
-    fused fit loops.
+def _make_spmm_fns(gene_block: int, n_gb: int, inv_density: int):
+    """The two SpMM products over blocked-ELL planes of a given geometry,
+    as (spmm_b, spmm_bw): ``spmm_b(li, lv, X)`` = densify(planes) @ X
+    (block, k) and ``spmm_bw(li, lv, Xb)`` = densify(planes)^T @ Xb
+    (n_gb*gene_block, k), each optionally keep-masked by the in-kernel CV
+    hash (``seed=``/``ids=``).
 
-    ``linked`` (static) adds 0/1 linking-mask arguments to the plain step —
-    ``link_h_loc`` (cells_local, k, cell-sharded) and ``link_w``
-    (genes_pad, k, replicated) — which elementwise-multiply the NNLS
-    right-hand sides before the solves, zeroing unlinked factors exactly
-    like ``predict_link`` (reference:src/singlet.cpp:416-433) inside
-    ``c_linked_nmf`` (reference:src/singlet.cpp:1059-1086). The masked
-    (CV) path takes no links, matching the reference."""
-    mesh = data.mesh
-    n_dev = mesh.shape[AXIS]
-    cells_local = data.cells_pad // n_dev
-    cell_block = data.cell_block
-    gene_block = data.gene_block
-    genes_pad, cells_true, genes_true = (data.genes_pad, data.cells_true,
-                                         data.genes_true)
-    n_gb = genes_pad // gene_block
-
-    def _local_cell_ids(dev):
-        return dev * cells_local + jnp.arange(cells_local)
-
-    def _gb_tiles(li, lv):
-        """Per-gene-block dense tiles of one cell block (static gb slices;
-        li/lv: (n_gb, cell_block, width))."""
-        for gb in range(n_gb):
-            yield gb, _bell_tile(li[gb], lv[gb], gene_block)
-
-    # On TPU the SpMM products run as fused Pallas kernels
-    # (ops/pallas_bell.py): the dense tile lives only in VMEM — no HBM tile
-    # round-trip (~100 GB/iteration at the 524k config) — and the masked-CV
-    # keep factor is hashed in-kernel at the nnz positions only (a
-    # (block, width) window instead of the dense (block, genes) grid).
-    # The XLA tile formulation below stays the CPU/test path; numerics are
-    # identical up to fp reassociation in the Bw cell-contraction (the
-    # kernel sums 256-cell partials — tests/test_pallas_bell.py,
-    # benchmarks/bell_step_check.py). SINGLET_TPU_BELL_KERNELS=0 opts out.
+    On TPU these run as fused Pallas kernels (ops/pallas_bell.py): the
+    dense tile lives only in VMEM — no HBM tile round-trip (~100
+    GB/iteration at the 524k config) — and the masked-CV keep factor is
+    hashed in-kernel at the nnz positions only (a (block, width) window
+    instead of the dense (block, genes) grid). The XLA tile formulation is
+    the CPU/test path; numerics are identical up to fp reassociation in
+    the Bw cell-contraction (the kernel sums 256-cell partials —
+    tests/test_pallas_bell.py, benchmarks/bell_step_check.py).
+    SINGLET_TPU_BELL_KERNELS=0 opts out. Shared by the fit engines (A
+    planes) and the GCNMF graph convolution (G planes, whose "gene" axis
+    is the neighbor-cell axis)."""
     import os as _os
 
     use_bell_kernels = (jax.default_backend() == "tpu" and
                         _os.environ.get("SINGLET_TPU_BELL_KERNELS", "1")
                         != "0")
     _zero_seed = jnp.zeros((2,), jnp.uint32)
+
+    def _gb_tiles(li, lv):
+        for gb in range(n_gb):
+            yield gb, _bell_tile(li[gb], lv[gb], gene_block)
+
+    def _keep_dense(seed, ids, gsl):
+        # CPU-path keep factor: 1 - mask over one gene-block slice. No
+        # validity clamp needed — padded cells/genes have no nonzeros, so
+        # keep multiplies exact zeros.
+        gene_ids = jnp.arange(gsl.start, gsl.stop)
+        m = mask_block(seed, ids, gene_ids, inv_density)
+        return 1.0 - m.astype(jnp.float32)
 
     def _spmm_b(li, lv, W, seed=None, ids=None):
         """B (block, k) = keep-masked SpMM of one cell block against W."""
@@ -616,13 +620,46 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             parts.append(jnp.dot(tile.T, Hb, precision=MM_PRECISION))
         return jnp.concatenate(parts, axis=0)
 
-    def _keep_dense(seed, ids, gsl):
-        """CPU-path keep factor: 1 - mask over one gene-block slice. The
-        validity clamp of _mask_of is unnecessary here — padded cells/genes
-        have no nonzeros, so keep multiplies exact zeros."""
-        gene_ids = jnp.arange(gsl.start, gsl.stop)
-        m = mask_block(seed, ids, gene_ids, inv_density)
-        return 1.0 - m.astype(jnp.float32)
+    return _spmm_b, _spmm_bw
+
+
+def _build_local_fns(data: ShardedEllData, inv_density: int,
+                     linked: bool = False):
+    """Per-device (shard_map body) functions shared by single steps and the
+    fused fit loops.
+
+    ``linked`` (static) adds 0/1 linking-mask arguments to the plain step —
+    ``link_h_loc`` (cells_local, k, cell-sharded) and ``link_w``
+    (genes_pad, k, replicated) — which elementwise-multiply the NNLS
+    right-hand sides before the solves, zeroing unlinked factors exactly
+    like ``predict_link`` (reference:src/singlet.cpp:416-433) inside
+    ``c_linked_nmf`` (reference:src/singlet.cpp:1059-1086). The masked
+    (CV) path takes no links, matching the reference."""
+    mesh = data.mesh
+    n_dev = mesh.shape[AXIS]
+    cells_local = data.cells_pad // n_dev
+    cell_block = data.cell_block
+    gene_block = data.gene_block
+    genes_pad, cells_true, genes_true = (data.genes_pad, data.cells_true,
+                                         data.genes_true)
+    n_gb = genes_pad // gene_block
+
+    def _local_cell_ids(dev):
+        return dev * cells_local + jnp.arange(cells_local)
+
+    _spmm_b, _spmm_bw = _make_spmm_fns(gene_block, n_gb, inv_density)
+
+    def _gb_tiles(li, lv):
+        """Per-gene-block dense tiles of one cell block (static gb slices;
+        li/lv: (n_gb, cell_block, width)) — the _mse evaluation path."""
+        for gb in range(n_gb):
+            yield gb, _bell_tile(li[gb], lv[gb], gene_block)
+
+    import os as _os
+
+    use_bell_kernels = (jax.default_backend() == "tpu" and
+                        _os.environ.get("SINGLET_TPU_BELL_KERNELS", "1")
+                        != "0")
 
     def _slice2(arr, start, size):
         return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
@@ -632,30 +669,35 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         return jax.lax.dynamic_slice_in_dim(arr, start, size, 1)
 
     def _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
-                        packed_w=None, k=None, iu=None):
+                        packed_w_t=None, k=None, iu=None, sweep_cap=None):
         """Gene-block NNLS solves against accumulated right-hand sides.
-        With ``packed_w`` (masked path), each gene's Gram correction comes
-        from the accumulated packed outer products (``solve_nnls_packed``
-        emits them straight in the kernel's tile layout)."""
+        With ``packed_w_t`` (masked path, TRANSPOSED (np_pad, genes_pad)
+        layout — the fused mask-product kernels' output orientation), each
+        gene's Gram correction comes from the accumulated packed outer
+        products via one static row-gather (``solve_nnls_packed_t``)."""
         def w_blk(_, bi):
             start = bi * gene_block
             B = jax.lax.dynamic_slice_in_dim(Bw, start, gene_block, 0)
             Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
             ne = jax.lax.dynamic_slice_in_dim(gene_ne, start, gene_block, 0)
-            if packed_w is None:
+            if packed_w_t is None:
                 X = solve_nnls(a_h, B, Y0, L1=L1_w, L2=L2_w,
-                               update_mask=ne, n_coord=n_coord)
+                               update_mask=ne, n_coord=n_coord,
+                               sweep_cap=sweep_cap)
             else:
-                pk = jax.lax.dynamic_slice_in_dim(packed_w, start,
-                                                  gene_block, 0)
-                X = solve_nnls_packed(a_h, pk, iu, B, Y0, L1=L1_w, L2=L2_w,
-                                      update_mask=ne, n_coord=n_coord)
+                pk_t = jax.lax.dynamic_slice_in_dim(packed_w_t, start,
+                                                    gene_block, 1)
+                X = solve_nnls_packed_t(a_h, pk_t, iu, B, Y0, L1=L1_w,
+                                        L2=L2_w, update_mask=ne,
+                                        n_coord=n_coord,
+                                        sweep_cap=sweep_cap)
             return None, X
 
         _, Ws = jax.lax.scan(w_blk, None, jnp.arange(genes_pad // gene_block))
         return Ws.reshape(genes_pad, -1)
 
-    def _plain(b_li, b_val, ne_loc, gene_ne, W, H_loc, *rest):
+    def _plain(b_li, b_val, ne_loc, gene_ne, W, H_loc, *rest,
+               sweep_cap=None):
         # Blocked over (cells x gene blocks): each blocked-ELL slice is
         # expanded to an MXU-dense (cell_block, gene_block) tile by the
         # fused compare-sum (_bell_tile), then dense matmuls. The w-update
@@ -689,7 +731,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                 B = B * _slice2(link_h_loc, start, cell_block)
             Y0 = _slice2(H_loc, start, cell_block)
             ne = _slice2(ne_loc, start, cell_block)
-            Hb = solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h, update_mask=ne)
+            Hb = solve_nnls(a_w, B, Y0, L1=L1_h, L2=L2_h, update_mask=ne,
+                            sweep_cap=sweep_cap)
             Bw = Bw + _spmm_bw(li, lv, Hb)
             Hsum = Hsum + jnp.sum(Hb, axis=0)
             Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
@@ -706,7 +749,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         Bw = jax.lax.psum(Bw, AXIS) / d[None, :]
         if link_w is not None:
             Bw = Bw * link_w
-        W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, None)
+        W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, None,
+                                sweep_cap=sweep_cap)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
         tol = cor_distance(W_new[:genes_true], W[:genes_true])
@@ -734,18 +778,27 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         return f * cell_block
 
     def _masked(b_li, b_val, ne_loc, gene_ne, W, H_loc,
-                seed, L1_h, L1_w, L2_h, L2_w, k_true):
+                seed, L1_h, L1_w, L2_h, L2_w, k_true, sweep_cap=None):
         k = W.shape[1]
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
         gene_ids = jnp.arange(genes_pad)
         iu = triu_pairs(k)
         npairs = k * (k + 1) // 2
+        np_pad = -(-npairs // 128) * 128
+        iu_pad = pad_pairs(iu, np_pad)
         n_coord = jnp.asarray(k_true, jnp.float32)
-        mblock = _masked_block(k, npairs)
+        mblock = _masked_block(k, np_pad)
+        # The fused in-kernel-mask product kernels implement exactly the
+        # MASK_MM_PRECISION=DEFAULT arithmetic (bf16 operands, f32
+        # accumulation); the =highest override keeps the XLA dense-mask
+        # path so reference-exact products stay reachable.
+        use_maskgram = use_bell_kernels and \
+            MASK_MM_PRECISION == jax.lax.Precision.DEFAULT
 
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
-        Pw = packed_outer_products(W, iu)
+        Pw = packed_outer_products(W, iu_pad)      # (genes_pad, np_pad)
+        Pw_op = Pw.astype(jnp.bfloat16) if use_maskgram else Pw
 
         def _mask_of(ids):
             m = mask_block(seed, ids, gene_ids, inv_density)
@@ -753,54 +806,73 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                 (gene_ids < genes_true)[None, :]
 
         # ONE fused pass over cell blocks (same algebra as the plain step's
-        # fusion): the mask, the keep-multiplied tiles, and the per-block
-        # packed products are each built ONCE per iteration — the dominant
-        # masked-path costs (profile_masked.py: mask 0.16 s, tiles 0.32 s,
-        # each packed product ~0.5-0.6 s at bf16 on the 524k config) are
-        # not paid twice. The packed products go through ``mask_dot`` (bf16
-        # operand feeding, f32 accumulation) and the per-cell Gram solves
-        # through ``solve_nnls_packed`` (corrections emitted straight in
-        # the Pallas kernel's tile layout). The w-side accumulators use the
-        # unnormalized H_b and are rescaled after the psum: B_w scales as
-        # 1/d per column, the packed H Gram corrections as 1/(d_i d_j) per
-        # pair. Ph is built per block — materializing (cells_local, npairs)
-        # would be 10s of GB at scale.
+        # fusion): the keep-multiplied tiles and the per-block packed
+        # products are each built ONCE per iteration. On TPU the packed
+        # products run as fused Pallas kernels (ops/pallas_maskgram.py):
+        # the CV mask is hashed IN-KERNEL in the orientation each product
+        # contracts — the dense (mblock, genes_pad) mask never exists, not
+        # even in HBM — and both products are emitted TRANSPOSED
+        # ((np_pad, n)) so the Gram-correction unpack downstream is a pure
+        # static row-gather with no relayout. The XLA fallback
+        # (``mask_dot_t``) materializes the mask per block (CPU/test path,
+        # or the =highest precision override). The w-side accumulators use
+        # the unnormalized H_b and are rescaled after the psum: B_w scales
+        # as 1/d per column, the packed H Gram corrections as 1/(d_i d_j)
+        # per pair. Ph is built per block — materializing
+        # (cells_local, npairs) would be 10s of GB at scale.
         def blk(carry, bi):
-            Bw, Pk, Hsum, Hgram = carry
+            Bw, Pk_t, Hsum, Hgram = carry
             start = bi * mblock
             ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
                                                mblock)
-            m = _mask_of(ids).astype(W.dtype)    # dense: packed products only
             li = _slice_planes(b_li, start, mblock)
             lv = _slice_planes(b_val, start, mblock)
             B = _spmm_b(li, lv, W, seed=seed, ids=ids)
-            packed = mask_dot(m, Pw)
+            if use_maskgram:
+                from singlet_tpu.ops.pallas_maskgram import (
+                    mask_packed_h_t, mask_packed_w_t)
+
+                packed_t = mask_packed_w_t(
+                    Pw_op, seed, ids, gene_block=gene_block,
+                    inv_density=inv_density, cells_true=cells_true,
+                    genes_true=genes_true)
+            else:
+                m = _mask_of(ids).astype(W.dtype)
+                packed_t = mask_dot_t(Pw_op, m, 1)
             Y0 = _slice2(H_loc, start, mblock)
             ne = _slice2(ne_loc, start, mblock)
-            Hb = solve_nnls_packed(a_full, packed, iu, B, Y0,
-                                   L1=L1_h, L2=L2_h,
-                                   update_mask=ne, n_coord=n_coord)
+            Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
+                                     L1=L1_h, L2=L2_h,
+                                     update_mask=ne, n_coord=n_coord,
+                                     sweep_cap=sweep_cap)
             Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids)
-            Ph_b = packed_outer_products(Hb, iu)         # (blk, npairs)
-            Pk = Pk + mask_dot(m, Ph_b, transpose_x=True)
+            Ph_b = packed_outer_products(Hb, iu_pad)     # (blk, np_pad)
+            if use_maskgram:
+                Pk_t = Pk_t + mask_packed_h_t(
+                    Ph_b, seed, ids, gene_block=gene_block,
+                    genes_pad=genes_pad, inv_density=inv_density,
+                    cells_true=cells_true, genes_true=genes_true)
+            else:
+                Pk_t = Pk_t + mask_dot_t(Ph_b, m, 0)
             Hsum = Hsum + jnp.sum(Hb, axis=0)
             Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
-            return (Bw, Pk, Hsum, Hgram), Hb
+            return (Bw, Pk_t, Hsum, Hgram), Hb
 
         carry0 = (jnp.zeros((genes_pad, k), W.dtype),
-                  jnp.zeros((genes_pad, npairs), W.dtype),
+                  jnp.zeros((np_pad, genes_pad), W.dtype),
                   jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
-        (Bw, Pk, Hsum, Hgram), Hs = jax.lax.scan(
+        (Bw, Pk_t, Hsum, Hgram), Hs = jax.lax.scan(
             blk, carry0, jnp.arange(cells_local // mblock))
         d = jax.lax.psum(Hsum, AXIS) + 1e-15
         H_new = Hs.reshape(cells_local, k) / d[None, :]
         a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])
         a_h = a_h + 1e-15 * jnp.eye(k)
         Bw = jax.lax.psum(Bw, AXIS) / d[None, :]
-        d_pair = d[iu[0]] * d[iu[1]]                     # (npairs,)
-        Pk = jax.lax.psum(Pk, AXIS) / d_pair[None, :]
+        d_pair = d[iu_pad[0]] * d[iu_pad[1]]             # (np_pad,)
+        Pk_t = jax.lax.psum(Pk_t, AXIS) / d_pair[:, None]
         W_new = _solve_w_blocks(a_h, Bw, W, gene_ne, L1_w, L2_w, n_coord,
-                                packed_w=Pk, k=k, iu=iu)
+                                packed_w_t=Pk_t, k=k, iu=iu,
+                                sweep_cap=sweep_cap)
         d = jnp.sum(W_new, axis=0) + 1e-15
         W_new = W_new / d[None, :]
         n_true = genes_true * jnp.asarray(k_true, jnp.float32)
@@ -875,42 +947,49 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
     mesh = data.mesh
 
     def _loop(a_idx, a_val, ne_loc, gene_ne, W, H, *extra):
-        # extra = (..., tol_target, n_steps):
+        # extra = (..., tol_target, n_steps, tol0, exact0):
         #   ([link_h_loc, link_w,] L1_h, L1_w, L2_h, L2_w, tol_target,
-        #    n_steps) plain
-        #   (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target, n_steps) masked
+        #    n_steps, tol0, exact0) plain
+        #   (seed, L1_h, L1_w, L2_h, L2_w, k_true, tol_target, n_steps,
+        #    tol0, exact0) masked
         # n_steps is a traced budget <= the static maxit, letting chunked
-        # callers run a partial final chunk on the same compiled program.
-        n_steps = extra[-1]
-        tol_target = extra[-2]
-        args = extra[:-2]
+        # callers run a partial final chunk on the same compiled program;
+        # tol0/exact0 carry the previous chunk's tol and adaptive-sweep
+        # exact-phase latch so a chunked fit follows the same sweep schedule
+        # as an unchunked one (fresh fits pass 1.0 / False).
+        args = extra[:-4]
+        tol_target, n_steps, tol0, exact0 = extra[-4:]
         k = W.shape[1]
 
         def cond(st):
-            it, _, _, _, tolv, _ = st
+            it, _, _, _, tolv, _, _ = st
             return (it < maxit) & (it < n_steps) & (tolv > tol_target)
 
         def body(st):
-            it, W, H, d, _, tols = st
-            W, H, d, tolv = step(a_idx, a_val, ne_loc, gene_ne, W, H, *args)
+            it, W, H, d, tolv, exact, tols = st
+            cap, exact = sweep_cap_update(exact, tolv, tol_target,
+                                          masked=masked)
+            W, H, d, tolv = step(a_idx, a_val, ne_loc, gene_ne, W, H, *args,
+                                 sweep_cap=cap)
             tols = tols.at[it].set(tolv)
-            return (it + 1, W, H, d, tolv, tols)
+            return (it + 1, W, H, d, tolv, exact, tols)
 
         st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
-               jnp.float32(1.0), jnp.full((maxit,), jnp.nan, jnp.float32))
-        it, W, H, d, _, tols = jax.lax.while_loop(cond, body, st0)
-        return W, H, d, it, tols
+               jnp.asarray(tol0, jnp.float32), jnp.asarray(exact0, bool),
+               jnp.full((maxit,), jnp.nan, jnp.float32))
+        it, W, H, d, _, exact, tols = jax.lax.while_loop(cond, body, st0)
+        return W, H, d, it, tols, exact
 
     specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
     if masked:
-        extra_specs = (P(None), P(), P(), P(), P(), P(), P(), P())
+        extra_specs = (P(None), P(), P(), P(), P(), P(), P(), P(), P(), P())
     else:
         link_specs = (P(AXIS, None), P(None, None)) if linked else ()
-        extra_specs = link_specs + (P(), P(), P(), P(), P(), P())
+        extra_specs = link_specs + (P(), P(), P(), P(), P(), P(), P(), P())
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None)) + extra_specs,
-        out_specs=(P(None, None), P(AXIS, None), P(None), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P(), P(), P()),
         check_vma=False))
 
 
@@ -937,11 +1016,13 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
             return (~stopped) & (it < maxit) & (tolv > tol_target)
 
         def body(st):
-            (it, W, H, d, _, stopped, min_err, n_tr, tmse, t_iters, scores,
-             tols) = st
+            (it, W, H, d, tolv, stopped, min_err, n_tr, tmse, t_iters,
+             scores, tols, exact) = st
+            cap, exact = sweep_cap_update(exact, tolv, tol_target,
+                                          masked=True)
             W, H, d, tolv = masked(a_idx, a_val, ne_loc,
                                    gene_ne, W, H, seed, L1, L1, L2, L2,
-                                   k_true)
+                                   k_true, sweep_cap=cap)
             tols = tols.at[it].set(tolv)
 
             def with_trace(args):
@@ -961,16 +1042,16 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
                 (min_err, n_tr, tmse, t_iters, scores, stopped))
             it = jnp.where(stopped, it, it + 1)  # break before it+=1
             return (it, W, H, d, tolv, stopped, min_err, n_tr, tmse,
-                    t_iters, scores, tols)
+                    t_iters, scores, tols, exact)
 
         st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
                jnp.float32(1.0), jnp.bool_(False), jnp.float32(jnp.inf),
                jnp.int32(0), jnp.full((max_traces,), nanf),
                jnp.full((max_traces,), -1, jnp.int32),
                jnp.full((max_traces,), nanf),
-               jnp.full((maxit,), nanf))
+               jnp.full((maxit,), nanf), jnp.bool_(False))
         (it, W, H, d, _, stopped, _, n_tr, tmse, t_iters, scores,
-         tols) = jax.lax.while_loop(cond, body, st0)
+         tols, _) = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
 
     specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
@@ -980,6 +1061,256 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
                             P(), P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P(), P(), P(),
                    P(None), P(None), P(None), P(None)),
+        check_vma=False))
+
+
+def build_sharded_ell_gcnmf_loop(data: ShardedEllData,
+                                 g_data: ShardedEllData, maxit: int):
+    """Graph-convolutional NMF (``c_gcnmf``, reference:src/singlet.cpp:
+    1668-1730) as ONE fused device program over the sharded ELL engine —
+    the scale route for GCNMF (the dense solver holds a (cells, cells) G
+    in HBM; this one holds G as cell-sharded blocked-ELL planes, sparse).
+
+    Per iteration (reference semantics exactly):
+      1. B = A^T W per local cell block (SpMM over A planes);
+      2. all_gather B (the graph couples cells across shards — neighbor
+         cells may live on other devices; this is the step's only extra
+         collective, (cells_pad, k) over ICI);
+      3. convolved RHS Bc = G^T B per local cell block (SpMM over the G
+         planes, whose "gene" axis is the global neighbor-cell axis), then
+         the H NNLS solves — ALL columns, like the reference (its
+         ``gcnmf_update_h`` convolve+solve loop has no empty-column skip,
+         so a cell with an empty A column but graph neighbors still gets a
+         nonzero RHS);
+      4. all_gather the rescaled H, convolve GH = G^T H per block, and
+         accumulate the w-update RHS over the SAME A-planes
+         (``B_w += tile^T @ GH_b``) — the Gram stays AAt(h), NOT AAt(GH)
+         (reference:src/singlet.cpp:1693-1710).
+    """
+    mesh = data.mesh
+    n_dev = mesh.shape[AXIS]
+    cells_local = data.cells_pad // n_dev
+    cell_block = data.cell_block
+    genes_pad, genes_true = data.genes_pad, data.genes_true
+    gene_block = data.gene_block
+    assert g_data.genes_pad == data.cells_pad, (
+        "G planes' row axis must be padded to the engine's cells_pad")
+    spmm_a_b, spmm_a_bw = _make_spmm_fns(
+        gene_block, genes_pad // gene_block, 20)
+    spmm_g_b, _ = _make_spmm_fns(
+        g_data.gene_block, g_data.genes_pad // g_data.gene_block, 20)
+
+    def _slice_planes(arr, start, size):
+        return jax.lax.dynamic_slice_in_dim(arr, start, size, 1)
+
+    def _slice2(arr, start, size):
+        return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
+
+    def step(a_li, a_val, g_li, g_val, W, H_loc, L1_h, L1_w, L2_h, L2_w,
+             sweep_cap):
+        k = W.shape[1]
+        a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
+        n_blocks = cells_local // cell_block
+
+        def b_blk(_, bi):
+            start = bi * cell_block
+            li = _slice_planes(a_li, start, cell_block)
+            lv = _slice_planes(a_val, start, cell_block)
+            return None, spmm_a_b(li, lv, W)
+
+        _, Bs = jax.lax.scan(b_blk, None, jnp.arange(n_blocks))
+        B_glob = jax.lax.all_gather(Bs.reshape(cells_local, k), AXIS,
+                                    tiled=True)          # (cells_pad, k)
+
+        def h_blk(carry, bi):
+            Hsum, Hgram = carry
+            start = bi * cell_block
+            gli = _slice_planes(g_li, start, cell_block)
+            glv = _slice_planes(g_val, start, cell_block)
+            Bc = spmm_g_b(gli, glv, B_glob)
+            Y0 = _slice2(H_loc, start, cell_block)
+            Hb = solve_nnls(a_w, Bc, Y0, L1=L1_h, L2=L2_h,
+                            sweep_cap=sweep_cap)
+            return (Hsum + jnp.sum(Hb, axis=0),
+                    Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)), Hb
+
+        (Hsum, Hgram), Hs = jax.lax.scan(
+            h_blk, (jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype)),
+            jnp.arange(n_blocks))
+        d = jax.lax.psum(Hsum, AXIS) + 1e-15
+        H_new = Hs.reshape(cells_local, k) / d[None, :]
+        a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])
+        a_h = a_h + 1e-15 * jnp.eye(k)
+        H_glob = jax.lax.all_gather(H_new, AXIS, tiled=True)
+
+        def w_blk(Bw, bi):
+            start = bi * cell_block
+            gli = _slice_planes(g_li, start, cell_block)
+            glv = _slice_planes(g_val, start, cell_block)
+            GH_b = spmm_g_b(gli, glv, H_glob)
+            li = _slice_planes(a_li, start, cell_block)
+            lv = _slice_planes(a_val, start, cell_block)
+            return Bw + spmm_a_bw(li, lv, GH_b), None
+
+        Bw, _ = jax.lax.scan(w_blk, jnp.zeros((genes_pad, k), W.dtype),
+                             jnp.arange(n_blocks))
+        Bw = jax.lax.psum(Bw, AXIS)
+
+        def wsolve_blk(_, bi):
+            start = bi * gene_block
+            B = jax.lax.dynamic_slice_in_dim(Bw, start, gene_block, 0)
+            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
+            return None, solve_nnls(a_h, B, Y0, L1=L1_w, L2=L2_w,
+                                    sweep_cap=sweep_cap)
+
+        _, Ws = jax.lax.scan(wsolve_blk, None,
+                             jnp.arange(genes_pad // gene_block))
+        W_new = Ws.reshape(genes_pad, k)
+        d = jnp.sum(W_new, axis=0) + 1e-15
+        W_new = W_new / d[None, :]
+        tol = cor_distance(W_new[:genes_true], W[:genes_true])
+        return W_new, H_new, d, tol
+
+    def _loop(a_li, a_val, g_li, g_val, W, H, L1_h, L1_w, L2_h, L2_w,
+              tol_target, n_steps):
+        k = W.shape[1]
+
+        def cond(st):
+            it, _, _, _, tolv, _, _ = st
+            return (it < maxit) & (it < n_steps) & (tolv > tol_target)
+
+        def body(st):
+            it, W, H, d, tolv, exact, tols = st
+            cap, exact = sweep_cap_update(exact, tolv, tol_target)
+            W, H, d, tolv = step(a_li, a_val, g_li, g_val, W, H,
+                                 L1_h, L1_w, L2_h, L2_w, cap)
+            tols = tols.at[it].set(tolv)
+            return (it + 1, W, H, d, tolv, exact, tols)
+
+        st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
+               jnp.float32(1.0), jnp.bool_(False),
+               jnp.full((maxit,), jnp.nan, jnp.float32))
+        it, W, H, d, _, _, tols = jax.lax.while_loop(cond, body, st0)
+        return W, H, d, it, tols
+
+    plane_spec = P(None, AXIS, None)
+    return jax.jit(jax.shard_map(
+        _loop, mesh=mesh,
+        in_specs=(plane_spec,) * 4 + (P(None, None), P(AXIS, None),
+                                      P(), P(), P(), P(), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P(), P()),
+        check_vma=False))
+
+
+def build_sharded_ell_batch_loop(data: ShardedEllData, n_batches: int,
+                                 maxit: int):
+    """Batch-aware L1-matrix NMF (``c_nmf_batch``,
+    reference:src/singlet.cpp:677-710) as ONE fused device program over the
+    sharded ELL engine — the scale route for the experimental batch solver
+    (the dense one densifies A). The per-(factor, batch) penalty
+    (``calc_L1_matrix``, :281-311, documented intent — see
+    solvers/batch.py) is computed ON DEVICE each iteration from the
+    current H: per-batch mean loadings via a one-hot matmul psum'ed over
+    shards, then ``pen[:, b] = mean_b - mean(other batches' means)``; the
+    h-solves then take a per-(cell, factor) L1 array."""
+    mesh = data.mesh
+    n_dev = mesh.shape[AXIS]
+    cells_local = data.cells_pad // n_dev
+    cell_block = data.cell_block
+    genes_pad, genes_true = data.genes_pad, data.genes_true
+    gene_block = data.gene_block
+    spmm_b, spmm_bw = _make_spmm_fns(gene_block, genes_pad // gene_block, 20)
+
+    def _slice_planes(arr, start, size):
+        return jax.lax.dynamic_slice_in_dim(arr, start, size, 1)
+
+    def _slice2(arr, start, size):
+        return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
+
+    def step(a_li, a_val, ne_loc, onehot_loc, counts, W, H_loc,
+             L1, L2, sweep_cap):
+        k = W.shape[1]
+        # per-(cell, factor) L1 from the CURRENT H (reference recomputes
+        # the matrix each iteration before the h update, :692-695)
+        sums = jax.lax.psum(
+            jnp.dot(H_loc.T, onehot_loc, precision=MM_PRECISION), AXIS)
+        means = sums / counts[None, :]                      # (k, nb)
+        pen = means - (jnp.sum(means, axis=1, keepdims=True) - means) \
+            / max(n_batches - 1, 1)
+        L1_loc = jnp.dot(onehot_loc, pen.T,
+                         precision=MM_PRECISION) + L1       # (cells_loc, k)
+
+        a_w = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
+        n_blocks = cells_local // cell_block
+
+        def blk(carry, bi):
+            Bw, Hsum, Hgram = carry
+            start = bi * cell_block
+            li = _slice_planes(a_li, start, cell_block)
+            lv = _slice_planes(a_val, start, cell_block)
+            B = spmm_b(li, lv, W)
+            Y0 = _slice2(H_loc, start, cell_block)
+            ne = _slice2(ne_loc, start, cell_block)
+            L1b = _slice2(L1_loc, start, cell_block)
+            Hb = solve_nnls(a_w, B, Y0, L1=L1b, L2=L2, update_mask=ne,
+                            sweep_cap=sweep_cap)
+            Bw = Bw + spmm_bw(li, lv, Hb)
+            return (Bw, Hsum + jnp.sum(Hb, axis=0),
+                    Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)), Hb
+
+        carry0 = (jnp.zeros((genes_pad, k), W.dtype),
+                  jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
+        (Bw, Hsum, Hgram), Hs = jax.lax.scan(blk, carry0,
+                                             jnp.arange(n_blocks))
+        d = jax.lax.psum(Hsum, AXIS) + 1e-15
+        H_new = Hs.reshape(cells_local, k) / d[None, :]
+        a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])
+        a_h = a_h + 1e-15 * jnp.eye(k)
+        Bw = jax.lax.psum(Bw, AXIS) / d[None, :]
+
+        def w_blk(_, bi):
+            start = bi * gene_block
+            B = jax.lax.dynamic_slice_in_dim(Bw, start, gene_block, 0)
+            Y0 = jax.lax.dynamic_slice_in_dim(W, start, gene_block, 0)
+            return None, solve_nnls(a_h, B, Y0, L1=L1, L2=L2,
+                                    sweep_cap=sweep_cap)
+
+        _, Ws = jax.lax.scan(w_blk, None,
+                             jnp.arange(genes_pad // gene_block))
+        W_new = Ws.reshape(genes_pad, k)
+        d = jnp.sum(W_new, axis=0) + 1e-15
+        W_new = W_new / d[None, :]
+        tol = cor_distance(W_new[:genes_true], W[:genes_true])
+        return W_new, H_new, d, tol
+
+    def _loop(a_li, a_val, ne_loc, onehot_loc, counts, W, H,
+              L1, L2, tol_target, n_steps):
+        k = W.shape[1]
+
+        def cond(st):
+            it, _, _, _, tolv, _, _ = st
+            return (it < maxit) & (it < n_steps) & (tolv > tol_target)
+
+        def body(st):
+            it, W, H, d, tolv, exact, tols = st
+            cap, exact = sweep_cap_update(exact, tolv, tol_target)
+            W, H, d, tolv = step(a_li, a_val, ne_loc, onehot_loc, counts,
+                                 W, H, L1, L2, cap)
+            tols = tols.at[it].set(tolv)
+            return (it + 1, W, H, d, tolv, exact, tols)
+
+        st0 = (jnp.int32(0), W, H, jnp.ones((k,), W.dtype),
+               jnp.float32(1.0), jnp.bool_(False),
+               jnp.full((maxit,), jnp.nan, jnp.float32))
+        it, W, H, d, _, _, tols = jax.lax.while_loop(cond, body, st0)
+        return W, H, d, it, tols
+
+    return jax.jit(jax.shard_map(
+        _loop, mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(AXIS),
+                  P(AXIS, None), P(None), P(None, None), P(AXIS, None),
+                  P(), P(), P(), P()),
+        out_specs=(P(None, None), P(AXIS, None), P(None), P(), P()),
         check_vma=False))
 
 
@@ -1169,24 +1500,28 @@ class ShardedEllEngine:
             chunk = int(maxit if chunk_iters is None
                         else min(chunk_iters, maxit))
             loop = self.fit_loop(inv_density, chunk, bool(masked), linked)
+            exact = jnp.bool_(False)
+            tol0 = jnp.float32(tol_)
             while it < maxit and tol_ > tol:
                 budget = jnp.int32(min(chunk, maxit - it))
                 if masked:
-                    W, H, d, n_it, tols = loop(
+                    W, H, d, n_it, tols, exact = loop(
                         *args, W, H, sp_, jnp.float32(L1_h),
                         jnp.float32(L1_w), jnp.float32(L2_h),
                         jnp.float32(L2_w), jnp.int32(k), jnp.float32(tol),
-                        budget)
+                        budget, tol0, exact)
                 else:
-                    W, H, d, n_it, tols = loop(
+                    W, H, d, n_it, tols, exact = loop(
                         *args, W, H, *link_args, jnp.float32(L1_h),
                         jnp.float32(L1_w), jnp.float32(L2_h),
-                        jnp.float32(L2_w), jnp.float32(tol), budget)
+                        jnp.float32(L2_w), jnp.float32(tol), budget,
+                        tol0, exact)
                 n = int(n_it)
                 new = [float(t) for t in np.asarray(tols[:n])]
                 traces.extend(new)
                 it += n
                 tol_ = traces[-1] if traces else tol_
+                tol0 = jnp.float32(tol_)
                 if n < int(budget):     # converged inside the chunk
                     break
             if verbose:
@@ -1194,18 +1529,26 @@ class ShardedEllEngine:
                     print(f"{i + 1:4d} | {t:8.2e}")
         else:
             plain_step = self.steps(inv_density, linked)[0]
+            # host-side twin of the fused loop's exact-phase latch
+            from singlet_tpu.ops.nnls import CD_EXACT_TOL
+            thresh_ = max(10.0 * tol, CD_EXACT_TOL)
+            exact = jnp.bool_(any(t <= thresh_ for t in traces))
             while it < maxit and tol_ > tol:
+                cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                              jnp.float32(tol),
+                                              masked=bool(masked))
+                cap = jnp.float32(1e9) if cap is None else cap
                 if masked:
                     W, H, d, tol_j = masked_step(
                         *args, W, H, sp_, jnp.float32(L1_h),
                         jnp.float32(L1_w), jnp.float32(L2_h),
-                        jnp.float32(L2_w), jnp.int32(k))
+                        jnp.float32(L2_w), jnp.int32(k), cap)
                 else:
                     W, H, d, tol_j = plain_step(*args, W, H, *link_args,
                                                 jnp.float32(L1_h),
                                                 jnp.float32(L1_w),
                                                 jnp.float32(L2_h),
-                                                jnp.float32(L2_w))
+                                                jnp.float32(L2_w), cap)
                 tol_ = float(tol_j)
                 traces.append(tol_)
                 if verbose:
@@ -1264,6 +1607,96 @@ class ShardedEllEngine:
         H, d = self._loops[key](data.b_li, data.b_val, data.nonempty, W,
                                 jnp.float32(L1), jnp.float32(L2))
         return np.asarray(H[: data.cells_true]).T, np.asarray(d)
+
+    def gcnmf_fit(self, G, k: int, tol: float = 1e-4, maxit: int = 100,
+                  L1=0.01, L2=0.0, seed: int = 0, w_init=None,
+                  verbose: bool = False):
+        """Graph-convolutional NMF over the sharded ELL engine — the scale
+        route for ``c_gcnmf`` (reference:src/singlet.cpp:1668-1730). ``G``
+        is a SPARSE (cells, cells) graph (LKNN/SNN output); it is packed
+        into a second set of cell-sharded blocked-ELL planes whose "gene"
+        axis is the global neighbor-cell axis, so the graph never
+        densifies (the dense solver's (cells, cells) G caps at ~50k cells
+        on one chip). Equivalence-tested against the dense solver at small
+        shapes."""
+        data = self.data
+        G = sp.csc_matrix(G).astype(np.float32)
+        if G.shape != (data.cells_true, data.cells_true):
+            raise ValueError(
+                f"G must be cells x cells = ({data.cells_true}, "
+                f"{data.cells_true}), got {G.shape}")
+        # pad G's row (neighbor) axis to cells_pad so the packed planes'
+        # gene axis matches the all_gathered (cells_pad, k) operands
+        Gp = sp.csc_matrix((G.data, G.indices, G.indptr),
+                           shape=(data.cells_pad, data.cells_true))
+        key = ("gcnmf", int(maxit))
+        g_data = shard_ell_data(Gp, self.mesh, cell_block=data.cell_block,
+                                gene_block=data.gene_block)
+        if key not in self._loops:
+            self._loops[key] = build_sharded_ell_gcnmf_loop(
+                data, g_data, int(maxit))
+        loop = self._loops[key]
+        W, H, _, _ = self._state(k, w_init, seed)
+        L1_w, L1_h = _as_pair(L1)
+        L2_w, L2_h = _as_pair(L2)
+        W, H, d, n_it, tols = loop(
+            data.b_li, data.b_val, g_data.b_li, g_data.b_val, W, H,
+            jnp.float32(L1_h), jnp.float32(L1_w), jnp.float32(L2_h),
+            jnp.float32(L2_w), jnp.float32(tol), jnp.int32(maxit))
+        n = int(n_it)
+        traces = [float(t) for t in np.asarray(tols[:n])]
+        if verbose:
+            for i, t in enumerate(traces):
+                print(f"{i + 1:4d} | {t:8.2e}")
+        return dict(
+            w=np.asarray(W[: data.genes_true]),
+            d=np.asarray(d),
+            h=np.asarray(H[: data.cells_true]).T,
+            tol_trace=traces,
+        )
+
+    def batch_fit(self, batch_id, k: int, tol: float = 1e-4,
+                  maxit: int = 100, L1: float = 0.01, L2: float = 0.0,
+                  seed: int = 0, w_init=None, verbose: bool = False):
+        """Batch-aware L1-matrix NMF over the sharded ELL engine — the
+        scale route for ``c_nmf_batch`` (reference:src/singlet.cpp:
+        677-710). ``batch_id``: per-cell 0-based ints (or labels)."""
+        data = self.data
+        batch_id = np.asarray(batch_id)
+        if batch_id.dtype.kind not in "iu":
+            _, batch_id = np.unique(batch_id, return_inverse=True)
+        if batch_id.size != data.cells_true:
+            raise ValueError("batch_id vector must be of the same length "
+                             "as the number of columns in A")
+        nb = int(batch_id.max()) + 1
+        onehot = np.zeros((data.cells_pad, nb), np.float32)
+        onehot[np.arange(data.cells_true), batch_id] = 1.0
+        # empty batches: sum is 0, so clamping the divisor reproduces the
+        # dense solver's zero mean instead of 0/0
+        counts = np.maximum(onehot.sum(axis=0), 1.0)
+        key = ("batch", nb, int(maxit))
+        if key not in self._loops:
+            self._loops[key] = build_sharded_ell_batch_loop(
+                data, nb, int(maxit))
+        loop = self._loops[key]
+        W, H, args, _ = self._state(k, w_init, seed)
+        oh = jax.device_put(onehot,
+                            NamedSharding(self.mesh, P(AXIS, None)))
+        W, H, d, n_it, tols = loop(
+            data.b_li, data.b_val, data.nonempty, oh,
+            jnp.asarray(counts), W, H, jnp.float32(L1), jnp.float32(L2),
+            jnp.float32(tol), jnp.int32(maxit))
+        n = int(n_it)
+        traces = [float(t) for t in np.asarray(tols[:n])]
+        if verbose:
+            for i, t in enumerate(traces):
+                print(f"{i + 1:4d} | {t:8.2e}")
+        return dict(
+            w=np.asarray(W[: data.genes_true]),
+            d=np.asarray(d),
+            h=np.asarray(H[: data.cells_true]).T,
+            tol_trace=traces,
+        )
 
     def ard_fit(self, k: int, w_init=None, mask_seed: int = 0,
                 inv_density: int = 20, tol: float = 1e-4, maxit: int = 100,
@@ -1344,12 +1777,21 @@ class ShardedEllEngine:
                 score_t = list(st["score_overfit"])
                 it = int(st["it"])
                 tol_ = tol_t[-1] if tol_t else 1.0
+            # host-side twin of the fused loop's exact-phase latch,
+            # recovered from the saved (traced-iteration) tol trace on resume
+            from singlet_tpu.ops.nnls import CD_EXACT_TOL
+            thresh_ = max(10.0 * tol, CD_EXACT_TOL)
+            exact = jnp.bool_(any(t <= thresh_ for t in tol_t))
             while it < maxit and tol_ > tol:
+                cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                              jnp.float32(tol), masked=True)
+                cap = jnp.float32(1e9) if cap is None else cap
                 W, H, d, tol_j = masked_step(*args, W, H, sp_,
                                              jnp.float32(L1),
                                              jnp.float32(L1),
                                              jnp.float32(L2),
-                                             jnp.float32(L2), jnp.int32(k))
+                                             jnp.float32(L2), jnp.int32(k),
+                                             cap)
                 tol_ = float(tol_j)
                 if it % trace_test_mse == 0:
                     err = float(mse_fn(self.data.b_li, self.data.b_val,
