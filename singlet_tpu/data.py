@@ -28,6 +28,10 @@ class CellDataset:
     gene_names: List[str]
     cell_names: List[str]
     meta: dict
+    # True when 'counts' actually holds an already-normalized assay (an SCE
+    # that only carries logcounts) — consumers must skip LogNormalize then,
+    # matching the reference's SCE method (reference:R/RunNMF.R:222-324)
+    normalized: bool = False
 
     @property
     def n_genes(self) -> int:
@@ -106,12 +110,21 @@ def read_seurat_rds(path: str) -> CellDataset:
 
     obj = read_rds(path)
     cls = r_class(obj)
+    normalized = False
     if "Seurat" in cls:
         M, genes, cells, meta = seurat_to_parts(obj)
     elif any(c in cls for c in ("SingleCellExperiment",
                                 "SummarizedExperiment",
                                 "RangedSummarizedExperiment")):
-        M, genes, cells, meta = sce_to_parts(obj)
+        M, genes, cells, meta, assay = sce_to_parts(obj)
+        if assay == "logcounts":
+            import warnings
+
+            warnings.warn(
+                f"{path}: SCE has no 'counts' assay; using 'logcounts' — "
+                "the data is already normalized and LogNormalize will be "
+                "skipped (reference SCE method semantics)")
+            normalized = True
     elif "dgCMatrix" in cls:
         M, genes, cells = dgcmatrix_to_csc(obj)
         meta = {}
@@ -126,6 +139,7 @@ def read_seurat_rds(path: str) -> CellDataset:
         cell_names=cells if cells is not None
         else [f"cell{i}" for i in range(M.shape[1])],
         meta=meta,
+        normalized=normalized,
     )
 
 

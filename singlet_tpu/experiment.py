@@ -43,10 +43,21 @@ class Experiment:
     reductions: Dict[str, NMFModel] = field(default_factory=dict)
     graphs: Dict[str, sp.spmatrix] = field(default_factory=dict)
     var_features: Optional[list] = None   # FindVariableFeatures output
+    # set when .data was ingested from an explicitly-normalized source (SCE
+    # logcounts): _assay() then trusts it instead of the integer-sum
+    # heuristic, which misfires on integer-valued normalized data
+    data_is_normalized: bool = False
 
     # ------------------------------------------------------------ factory
     @classmethod
     def from_dataset(cls, ds: CellDataset) -> "Experiment":
+        # an already-normalized dataset (SCE logcounts) goes straight into
+        # the normalized slot — re-running LogNormalize on log-space data
+        # would double-transform it
+        if getattr(ds, "normalized", False):
+            return cls(data=ds.counts, gene_names=list(ds.gene_names),
+                       cell_names=list(ds.cell_names), meta=dict(ds.meta),
+                       data_is_normalized=True)
         return cls(counts=ds.counts, gene_names=list(ds.gene_names),
                    cell_names=list(ds.cell_names), meta=dict(ds.meta))
 
@@ -70,7 +81,8 @@ class Experiment:
     def _assay(self):
         """Normalized data, auto-preprocessing raw counts exactly like
         RunNMF.Seurat's integer-sum test (reference:R/RunNMF.R:66-69)."""
-        if self.data is None or looks_like_counts(self.data):
+        if self.data is None or (not self.data_is_normalized
+                                 and looks_like_counts(self.data)):
             self.preprocess_data()
         return self.data
 
@@ -224,7 +236,7 @@ class Experiment:
                   L1: float = 0.01, L2: float = 0.0, seed: int = 0,
                   w_init=None, verbose: bool = False,
                   reduction_name: str = "gcnmf",
-                  reduction_key: str = "GCNMF_") -> "Experiment":
+                  reduction_key: str = "GCNMF_", mesh=None) -> "Experiment":
         """Graph-convolutional NMF over a (cells x cells) graph
         (reference:R/RunGCNMF.R:77 over c_gcnmf, src/singlet.cpp:1713-1730).
 
@@ -243,7 +255,8 @@ class Experiment:
                 f"graph must be cells x cells ({A.shape[1]}), got {G.shape}")
         model = gcnmf(A, G, int(k), tol=tol, maxit=maxit, L1=L1, L2=L2,
                       seed=seed, w_init=w_init, verbose=verbose,
-                      gene_names=self.gene_names, cell_names=self.cell_names)
+                      gene_names=self.gene_names, cell_names=self.cell_names,
+                      mesh=mesh)
         model.reduction_key = reduction_key
         self.reductions[reduction_name] = model
         return self

@@ -69,15 +69,25 @@ def msigdb_gene_sets(category: Optional[str] = None,
             "pass path= or set SINGLET_TPU_MSIGDB (see msigdb_gene_sets "
             "docstring for accepted formats)")
     if os.path.isdir(path):
+        def _norm(v):
+            # MSigDB filenames spell subcategories with dots (c5.go.bp.*);
+            # msigdbr-style filters use colons ('GO:BP') — compare on the
+            # alphanumeric skeleton so both spellings match
+            return "".join(ch for ch in v.lower() if ch.isalnum())
+
         out: Dict[str, List[str]] = {}
         pats = [p for p in sorted(os.listdir(path)) if p.endswith(".gmt")]
         for p in pats:
-            stem = p[:-4].lower()
-            if category and category.lower() not in stem:
+            stem = _norm(p[:-4])
+            if category and _norm(category) not in stem:
                 continue
-            if subcategory and subcategory.lower() not in stem:
+            if subcategory and _norm(subcategory) not in stem:
                 continue
             out.update(read_gmt(os.path.join(path, p)))
+        if not out:
+            raise ValueError(
+                f"MSigDB directory {path!r} has no .gmt file matching "
+                f"category={category!r} subcategory={subcategory!r}")
         return out
     if path.endswith(".gmt"):
         return read_gmt(path)
@@ -95,8 +105,18 @@ def msigdb_gene_sets(category: Optional[str] = None,
             return
         for c in col_names:
             if c in df.columns:
-                df = df[df[c].astype(str).str.fullmatch(value, case=False)]
+                # case-insensitive EQUALITY, not regex — msigdbr values
+                # contain metacharacters ('(', '+') that str.fullmatch
+                # would treat as patterns (or raise re.error on)
+                vals = df[c].astype(str).str.casefold()
+                df = df[vals == str(value).casefold()]
                 return
+        import warnings
+
+        warnings.warn(
+            f"msigdb_gene_sets: none of the filter columns {col_names} "
+            f"exist in the staged catalog; the {value!r} filter was NOT "
+            "applied", stacklevel=3)
 
     _filter(("gs_cat", "gs_collection"), category)
     _filter(("gs_subcat", "gs_subcollection"), subcategory)
@@ -401,6 +421,14 @@ def run_gsea(model, gene_sets,
             gene_sets = (read_gmt(gene_sets) if gene_sets.endswith(".gmt")
                          else msigdb_gene_sets(path=gene_sets,
                                                species=species))
+        elif (os.sep in gene_sets
+              or gene_sets.endswith((".gmt", ".csv", ".tsv", ".txt"))):
+            # looks like a file path, not an MSigDB category name — a typo
+            # here must not fall through to category resolution (it would
+            # either raise the unrelated no-catalog error or silently
+            # filter the staged catalog down to an empty dict)
+            raise FileNotFoundError(
+                f"gene_sets file not found: {gene_sets!r}")
         else:
             gene_sets = msigdb_gene_sets(category=gene_sets, species=species)
     w = np.asarray(model.w)

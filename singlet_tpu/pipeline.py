@@ -67,8 +67,12 @@ def cellxgene_pipeline(input_path: str, out: str | None = None,
     print(f"reading {input_path}", flush=True)
     ds = load_any(input_path)
     exp = Experiment.from_dataset(ds)
-    print(" normalizing...", flush=True)
-    exp.preprocess_data()
+    if exp.counts is not None:
+        print(" normalizing...", flush=True)
+        exp.preprocess_data()
+    else:
+        print(" input already normalized (logcounts); skipping "
+              "LogNormalize", flush=True)
     print(" running NMF...", flush=True)
     t0 = time.time()
     ctx = metric_logging(metrics) if metrics else contextlib.nullcontext()

@@ -444,9 +444,17 @@ def sce_to_parts(obj):
         node = at.get("data")
     if listdata is None:
         raise ValueError("SingleCellExperiment has no assays listData")
-    m = (_named_get(listdata, "counts")
-         or _named_get(listdata, "logcounts")
-         or (listdata.value[0] if listdata.value else None))
+    assay = "counts"
+    m = _named_get(listdata, "counts")
+    if m is None:
+        # the reference's SCE method consumes logcounts directly without
+        # renormalizing (reference:R/RunNMF.R:222-324); callers must know
+        # which assay was taken so they can skip LogNormalize
+        assay = "logcounts"
+        m = _named_get(listdata, "logcounts")
+    if m is None:
+        assay = "first"
+        m = listdata.value[0] if listdata.value else None
     if m is None:
         raise ValueError("SingleCellExperiment assays are empty")
     M, genes, cells = _any_matrix_to_csc(m)
@@ -462,7 +470,7 @@ def sce_to_parts(obj):
         rn = cd.attrs.get("rownames")
         if cells is None and isinstance(rn, RObj) and rn.type == "character":
             cells = [str(s) for s in rn.value]
-    return M, genes, cells, meta
+    return M, genes, cells, meta, assay
 
 
 def r_to_python(obj):

@@ -204,7 +204,8 @@ def test_rds_rejects_non_seurat(tmp_path):
         read_seurat_rds(str(tmp_path / "x.rds"))
 
 
-def _write_sce_rds(path, M, genes, cells, meta_types, dense=False):
+def _write_sce_rds(path, M, genes, cells, meta_types, dense=False,
+                   assay_name="counts"):
     """Serialize a SingleCellExperiment-shaped S4: assays -> SimpleAssays
     (data slot = SimpleList with listData) + colData DFrame."""
     w = _W()
@@ -233,7 +234,7 @@ def _write_sce_rds(path, M, genes, cells, meta_types, dense=False):
         w.s4([
             ("listData", lambda: w.rlist(
                 [dense_mat if dense else dgc],
-                attrs=[("names", lambda: w.strvec(["counts"]))])),
+                attrs=[("names", lambda: w.strvec([assay_name]))])),
             ("class", lambda: w.strvec(["SimpleList"])),
         ])
 
@@ -284,7 +285,8 @@ def test_sce_rds_roundtrip(tmp_path, rng, dense):
 
     obj = read_rds(path)
     assert "SingleCellExperiment" in r_class(obj)
-    M2, g2, c2, meta2 = sce_to_parts(obj)
+    M2, g2, c2, meta2, assay = sce_to_parts(obj)
+    assert assay == "counts"
     assert (sp.csc_matrix(M2) != sp.csc_matrix(M)).nnz == 0
     assert g2 == genes and c2 == cells
     assert list(meta2["cell_type"]) == meta["cell_type"]
@@ -303,3 +305,32 @@ def test_pipeline_accepts_sce_rds(tmp_path, rng):
     _write_sce_rds(path, M, genes, cells, meta)
     ds = load_any(path)
     assert ds.n_cells == 20 and ds.gene_names == genes
+
+
+def test_sce_logcounts_only_marks_normalized(tmp_path, rng):
+    """An SCE carrying only 'logcounts' must be ingested as ALREADY
+    normalized (the reference SCE method uses logcounts without
+    renormalizing, reference:R/RunNMF.R:222-324): the dataset is flagged,
+    Experiment routes it to the normalized slot, and the pipeline skips
+    LogNormalize instead of re-logging log-space data (ADVICE round 3)."""
+    import warnings
+
+    from singlet_tpu.experiment import Experiment
+
+    M, genes, cells, meta = _toy(rng)
+    path = str(tmp_path / "sce_log.rds")
+    _write_sce_rds(path, M, genes, cells, meta, assay_name="logcounts")
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ds = read_seurat_rds(path)
+    assert ds.normalized
+    assert any("logcounts" in str(w.message) for w in rec)
+
+    exp = Experiment.from_dataset(ds)
+    assert exp.counts is None
+    assert exp.data is not None
+    got = exp._assay()
+    # the assay is consumed as-is — no LogNormalize re-transform
+    np.testing.assert_allclose(
+        np.asarray(got.todense()), np.asarray(sp.csc_matrix(M).todense()))
