@@ -53,6 +53,7 @@ from singlet_tpu.plots import (
     gsea_heatmap,
     metadata_heatmap,
     metadata_plot,
+    factor_weights_ranges,
     plot_factor_weights,
     rank_plot,
 )
@@ -118,6 +119,7 @@ __all__ = [
     "metadata_plot",
     "metadata_heatmap",
     "gsea_heatmap",
+    "factor_weights_ranges",
     "plot_factor_weights",
     # preprocessing (PreprocessData / weight_by_split / RasterizeRowwise /
     # normit surface)

@@ -150,12 +150,77 @@ def gsea_heatmap(gsea: dict, top_n: int = 50, field: str = "padj"):
     return fig
 
 
-def plot_factor_weights(model, factor: int, top_n: int = 30):
-    """Top gene loadings of one factor (plotFactorWeights analogue — the
-    reference plots GRanges tracks via igvR; without genome tracks we show
-    the ranked loading profile)."""
-    w = model.w[:, factor]
+def factor_weights_ranges(model, ranges: pd.DataFrame,
+                          factors: Optional[Sequence] = None) -> pd.DataFrame:
+    """Map factor loadings onto genomic coordinates — the exact analogue of
+    ``plotFactorWeights``'s return value (reference:R/plotFactorWeights.R:
+    20-38: subset the GRanges to the model's features, add one ``mcols``
+    column of weights per requested factor, return the annotated ranges;
+    its igvR rendering is an unimplemented stub emitting "igvR support is
+    in process").
+
+    ``ranges``: DataFrame indexed by gene name with columns ``chrom`` and
+    ``start`` (``end`` optional). Like the reference's
+    ``stopifnot(all(rownames(object@w) %in% names(gr)))``, every model gene
+    must be present. Returns ranges subset/ordered to the model's genes
+    with one added column per factor (named as in ``model.factor_names``).
+    """
+    if model.gene_names is None:
+        raise ValueError("model has no gene_names; cannot map to ranges")
+    genes = list(model.gene_names)
+    missing = [g for g in genes if g not in ranges.index]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} model genes missing from ranges "
+            f"(first: {missing[:5]})")
+    out = ranges.loc[genes].copy()
+    if factors is None:
+        factors = range(min(3, model.w.shape[1]))   # reference default 1:3
+    for f in factors:
+        fi = (model.factor_names.index(f) if isinstance(f, str)
+              else int(f))
+        out[model.factor_names[fi]] = np.asarray(model.w)[:, fi]
+    return out
+
+
+def plot_factor_weights(model, factor: int, top_n: int = 30,
+                        ranges: Optional[pd.DataFrame] = None):
+    """Factor loadings plot (``plotFactorWeights``,
+    reference:R/plotFactorWeights.R).
+
+    With ``ranges`` (gene -> chrom/start[/end] table), renders a static
+    genomic-coordinate track: one panel per chromosome, loadings as stems
+    at each gene's start position — the rendering igvR would have provided
+    (the reference's own igvR branch is a stub). Without ``ranges``, shows
+    the ranked loading profile."""
+    w = np.asarray(model.w)[:, factor]
     names = model.gene_names or [str(i) for i in range(len(w))]
+    if ranges is not None:
+        ann = factor_weights_ranges(model, ranges, factors=[factor])
+        fname = model.factor_names[factor]
+        chroms = list(dict.fromkeys(ann["chrom"]))   # first-seen order
+        fig, axes = plt.subplots(len(chroms), 1, sharey=True,
+                                 figsize=(8, max(2, 1.1 * len(chroms))),
+                                 squeeze=False)
+        ymax = float(ann[fname].max()) or 1.0
+        for ax, ch in zip(axes[:, 0], chroms):
+            sub = ann[ann["chrom"] == ch].sort_values("start")
+            ax.vlines(sub["start"], 0, sub[fname], lw=1.2)
+            ax.set_ylabel(str(ch), rotation=0, ha="right", fontsize=8)
+            ax.set_ylim(0, ymax * 1.05)
+            ax.tick_params(labelsize=6)
+            # label the strongest loadings on each chromosome
+            top = sub.nlargest(min(3, len(sub)), fname)
+            for g, row in top.iterrows():
+                if row[fname] > 0.2 * ymax:
+                    ax.annotate(str(g), (row["start"], row[fname]),
+                                fontsize=5, rotation=45,
+                                textcoords="offset points", xytext=(1, 1))
+        axes[-1, 0].set_xlabel("genomic position (bp)")
+        axes[0, 0].set_title(f"{fname} loadings along the genome",
+                             fontsize=9)
+        fig.tight_layout()
+        return fig
     order = np.argsort(-w)[:top_n]
     fig, ax = plt.subplots(figsize=(5, max(3, top_n * 0.18)))
     ax.barh(range(len(order)), w[order][::-1])

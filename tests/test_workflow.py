@@ -211,6 +211,28 @@ def test_plots_render(pbmc_small, tmp_path):
         if (ann["p"] < 0.5).any():
             plots.annotation_plot(ann, max_p=0.5).savefig(tmp_path / "ann.png")
     plots.plot_factor_weights(model, 0).savefig(tmp_path / "fw.png")
+    # genomic-track variant (plotFactorWeights with coordinates,
+    # reference:R/plotFactorWeights.R): gene -> (chrom, start) table
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    genes = model.gene_names
+    ranges = pd.DataFrame({
+        "chrom": [f"chr{1 + i % 3}" for i in range(len(genes))],
+        "start": rng.integers(1, 2_000_000, len(genes)),
+    }, index=genes)
+    ann = plots.factor_weights_ranges(model, ranges)
+    # reference semantics: ranges subset to model genes, one weight column
+    # per factor (default first 3), original coordinate columns kept
+    assert list(ann.index) == list(genes)
+    for fn in model.factor_names[:3]:
+        np.testing.assert_allclose(
+            ann[fn].to_numpy(),
+            np.asarray(model.w)[:, model.factor_names.index(fn)])
+    with pytest.raises(ValueError, match="missing from ranges"):
+        plots.factor_weights_ranges(model, ranges.iloc[1:])
+    plots.plot_factor_weights(model, 0, ranges=ranges).savefig(
+        tmp_path / "fw_track.png")
+    assert (tmp_path / "fw_track.png").stat().st_size > 0
     plt.close("all")
     assert (tmp_path / "rank1.png").stat().st_size > 0
 
