@@ -47,9 +47,26 @@ def calc_l1_matrix(h: np.ndarray, batch_id: np.ndarray) -> np.ndarray:
 def nmf_batch(A, k: int, batch_id, tol: float = 1e-4, maxit: int = 100,
               L1: float = 0.01, L2: float = 0.0, seed: int = 0,
               verbose: bool = False, gene_names=None,
-              cell_names=None) -> NMFModel:
-    """ALS NMF with batch-aware per-coordinate L1 on the h update."""
+              cell_names=None, w_init=None, mesh=None) -> NMFModel:
+    """ALS NMF with batch-aware per-coordinate L1 on the h update.
+
+    Without ``mesh``: the single-chip dense solver. With ``mesh``: the
+    sharded ELL engine (A stays sparse; the per-batch penalty matrix is
+    computed on device each iteration) — the scale route."""
     enable_compilation_cache()
+    if mesh is not None:
+        import scipy.sparse as _sp
+
+        from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+        if not _sp.issparse(A):
+            A = _sp.csc_matrix(np.asarray(A, np.float32))
+        eng = ShardedEllEngine(A, mesh=mesh)
+        out = eng.batch_fit(batch_id, k, tol=tol, maxit=maxit, L1=L1,
+                            L2=L2, seed=seed, w_init=w_init,
+                            verbose=verbose)
+        return _finalize(out["w"], out["d"], out["h"],
+                         gene_names, cell_names)
     A = _coerce_dense(A)
     batch_id = np.asarray(batch_id)
     if batch_id.dtype.kind not in "iu":
@@ -58,34 +75,43 @@ def nmf_batch(A, k: int, batch_id, tol: float = 1e-4, maxit: int = 100,
     if batch_id.size != cells:
         raise ValueError("batch_id vector must be of the same length as the "
                          "number of columns in A")
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
-    W = jax.random.uniform(key, (genes, k), dtype=jnp.float32)
+    if w_init is not None:
+        W = jnp.asarray(w_init, jnp.float32)
+    else:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5117)
+        W = jax.random.uniform(key, (genes, k), dtype=jnp.float32)
     H = jnp.zeros((cells, k), jnp.float32)
     Aj = jnp.asarray(A)
     bid = jnp.asarray(batch_id.astype(np.int32))
     nonempty = jnp.any(Aj != 0, axis=0)
 
     @jax.jit
-    def step(W, H, L1_cells):
+    def step(W, H, L1_cells, sweep_cap=None):
         a_w = gram(W)
         B = jnp.dot(Aj.T, W, precision=MM_PRECISION)
         # per-(cell, factor) L1: base scalar + batch penalty
-        H = nnls_batch(a_w, B, H, L1=L1_cells, L2=L2, update_mask=nonempty)
+        H = nnls_batch(a_w, B, H, L1=L1_cells, L2=L2, update_mask=nonempty,
+                       sweep_cap=sweep_cap)
         H, d = scale_columns(H)
         a_h = gram(H)
         B_w = jnp.dot(Aj, H, precision=MM_PRECISION)
-        W_new = solve_nnls(a_h, B_w, W, L1=L1, L2=L2)
+        W_new = solve_nnls(a_h, B_w, W, L1=L1, L2=L2, sweep_cap=sweep_cap)
         W_new, d = scale_columns(W_new)
         tol = cor_distance(W_new, W)
         return W_new, H, d, tol
 
+    from singlet_tpu.ops.nnls import sweep_cap_update
+
     tol_ = 1.0
     it = 0
     d = jnp.ones((k,), jnp.float32)
+    exact = jnp.bool_(False)   # adaptive-sweep exact-phase latch
     while it < maxit and tol_ > tol:
+        cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                      jnp.float32(tol))
         L1m = calc_l1_matrix(np.asarray(H).T, batch_id)   # (k, n_batches)
         L1_cells = jnp.asarray(L1m.T[batch_id], jnp.float32) + jnp.float32(L1)
-        W, H, d, tol_j = step(W, H, L1_cells)
+        W, H, d, tol_j = step(W, H, L1_cells, sweep_cap=cap)
         tol_ = float(tol_j)
         if verbose:
             print(f"{it + 1:4d} | {tol_:8.2e}")

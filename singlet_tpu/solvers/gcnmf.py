@@ -20,26 +20,28 @@ import scipy.sparse as sp
 
 from singlet_tpu.model import NMFModel
 from singlet_tpu.ops.linalg import MM_PRECISION, cor_distance, gram, scale_columns
-from singlet_tpu.ops.nnls import solve_nnls
+from singlet_tpu.ops.nnls import solve_nnls, sweep_cap_update
 from singlet_tpu.solvers.drivers import _coerce_dense, _finalize
 from singlet_tpu.utils import enable_compilation_cache
 
 
 @jax.jit
-def _gcnmf_step(A, G, W, H, L1, L2):
+def _gcnmf_step(A, G, W, H, L1, L2, sweep_cap=None):
     """A: (genes, cells); G: dense (cells, cells); W: (genes,k); H: (cells,k)."""
-    # h-update with graph convolution of the RHS
+    # h-update with graph convolution of the RHS. NO empty-column skip:
+    # the reference's convolve+solve loop runs nnls for EVERY column
+    # (reference:src/singlet.cpp:1683-1689) — a cell with an empty A column
+    # but graph neighbors has a nonzero convolved RHS and must be solved.
     a_w = gram(W)
     B = jnp.dot(A.T, W, precision=MM_PRECISION)            # (cells, k)
     B = jnp.dot(G.T, B, precision=MM_PRECISION)            # convolve
-    nonempty = jnp.any(A != 0, axis=0)
-    H = solve_nnls(a_w, B, H, L1=L1, L2=L2, update_mask=nonempty)
+    H = solve_nnls(a_w, B, H, L1=L1, L2=L2, sweep_cap=sweep_cap)
     H, d = scale_columns(H)
     # w-update over graph-smoothed embeddings
     a_h = gram(H)
     GH = jnp.dot(G.T, H, precision=MM_PRECISION)           # (cells, k)
     B_w = jnp.dot(A, GH, precision=MM_PRECISION)           # (genes, k)
-    W_new = solve_nnls(a_h, B_w, W, L1=L1, L2=L2)
+    W_new = solve_nnls(a_h, B_w, W, L1=L1, L2=L2, sweep_cap=sweep_cap)
     W_new, d = scale_columns(W_new)
     tol = cor_distance(W_new, W)
     return W_new, H, d, tol
@@ -48,10 +50,31 @@ def _gcnmf_step(A, G, W, H, L1, L2):
 def gcnmf(A, G, k: int, tol: float = 1e-4, maxit: int = 100,
           L1: float = 0.01, L2: float = 0.0, seed: int = 0,
           w_init=None, verbose: bool = False,
-          gene_names=None, cell_names=None) -> NMFModel:
-    """Fit graph-convolutional NMF. G is a (cells x cells) graph (sparse or
-    dense; densified on device — suitable up to ~50k cells on one chip)."""
+          gene_names=None, cell_names=None, mesh=None) -> NMFModel:
+    """Fit graph-convolutional NMF. G is a (cells x cells) graph.
+
+    Without ``mesh``: the single-chip dense solver (A and G densified on
+    device — suitable up to ~50k cells on one chip, matching the
+    reference's single-node scale). With ``mesh``: the sharded ELL engine
+    — A and G stay sparse as cell-sharded blocked-ELL planes, scaling to
+    the same cell counts as every other solver (the graph convolution adds
+    one (cells, k) all_gather per half-update)."""
     enable_compilation_cache()
+    if mesh is not None:
+        from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+        if not sp.issparse(A):
+            A = sp.csc_matrix(np.asarray(A, np.float32))
+        if w_init is not None:
+            w_init = np.asarray(w_init, np.float32)
+            if w_init.shape == (k, A.shape[0]) and k != A.shape[0]:
+                w_init = w_init.T
+        eng = ShardedEllEngine(A, mesh=mesh)
+        out = eng.gcnmf_fit(sp.csc_matrix(G), k, tol=tol, maxit=maxit,
+                            L1=L1, L2=L2, seed=seed, w_init=w_init,
+                            verbose=verbose)
+        return _finalize(out["w"], out["d"], out["h"],
+                         gene_names, cell_names)
     A = _coerce_dense(A)
     Gd = np.asarray(G.todense(), np.float32) if sp.issparse(G) else \
         np.asarray(G, np.float32)
@@ -70,9 +93,12 @@ def gcnmf(A, G, k: int, tol: float = 1e-4, maxit: int = 100,
     H = jnp.zeros((cells, k), jnp.float32)
     tol_ = 1.0
     it = 0
+    exact = jnp.bool_(False)   # adaptive-sweep exact-phase latch
     while it < maxit and tol_ > tol:
+        cap, exact = sweep_cap_update(exact, jnp.float32(tol_),
+                                      jnp.float32(tol))
         W, H, d, tol_j = _gcnmf_step(Aj, Gj, W, H, jnp.float32(L1),
-                                     jnp.float32(L2))
+                                     jnp.float32(L2), sweep_cap=cap)
         tol_ = float(tol_j)
         if verbose:
             print(f"{it + 1:4d} | {tol_:8.2e}")

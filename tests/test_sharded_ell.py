@@ -436,3 +436,62 @@ def test_engine_project_transposed_w(rng, mesh8):
     np.testing.assert_allclose(d1, d2)
     with pytest.raises(ValueError, match="common edge"):
         eng.project(rng.random((7, 9)).astype(np.float32))
+
+
+def test_sharded_gcnmf_matches_dense(rng, mesh8):
+    """The sharded-ELL GCNMF route (sparse G planes + all_gather
+    convolution) must reproduce the dense single-chip solver
+    (``c_gcnmf`` semantics, reference:src/singlet.cpp:1668-1730)."""
+    from singlet_tpu.solvers.gcnmf import gcnmf
+
+    A = _sparse(rng)
+    n = A.shape[1]
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    # sparse row-normalized ring graph over cells
+    G = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1], format="csc").astype(np.float32) / 3.0
+    dense = gcnmf(np.asarray(A.todense()), G, 3, tol=0.0, maxit=5,
+                  w_init=w0, seed=0)
+    meshed = gcnmf(A, G, 3, tol=0.0, maxit=5, w_init=w0, seed=0,
+                   mesh=mesh8)
+    np.testing.assert_allclose(meshed.w, dense.w, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(meshed.h, dense.h, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(meshed.d, dense.d, rtol=2e-4)
+
+
+def test_experiment_run_gcnmf_mesh(rng, mesh8):
+    """Experiment.run_gcnmf(mesh=) routes through the sharded engine."""
+    from singlet_tpu.experiment import Experiment
+
+    A = _sparse(rng)
+    n = A.shape[1]
+    G = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1], format="csc").astype(np.float32) / 3.0
+    exp = Experiment(data=A, gene_names=[f"g{i}" for i in range(A.shape[0])],
+                     cell_names=[f"c{i}" for i in range(n)],
+                     data_is_normalized=True)
+    exp.run_gcnmf(G, k=3, tol=1e-3, maxit=6, mesh=mesh8)
+    model = exp.reductions["gcnmf"]
+    assert model.k == 3 and model.w.shape[0] == A.shape[0]
+
+
+def test_sharded_batch_l1_matches_dense(rng, mesh8):
+    """The sharded-ELL batch-aware L1 route (on-device penalty matrix)
+    must reproduce the dense solver (``c_nmf_batch`` intent,
+    reference:src/singlet.cpp:677-710)."""
+    from singlet_tpu.solvers.batch import nmf_batch
+
+    A = _sparse(rng)
+    n = A.shape[1]
+    w0 = rng.random((A.shape[0], 3)).astype(np.float32)
+    batch_id = (np.arange(n) % 3).astype(np.int64)
+    dense = nmf_batch(np.asarray(A.todense()), 3, batch_id, tol=0.0,
+                      maxit=5, w_init=w0)
+    meshed = nmf_batch(A, 3, batch_id, tol=0.0, maxit=5, w_init=w0,
+                       mesh=mesh8)
+    np.testing.assert_allclose(meshed.w, dense.w, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(meshed.h, dense.h, rtol=2e-4, atol=2e-5)
+    # the batch penalty must actually bite (differ from plain L1)
+    plain = nmf_batch(np.asarray(A.todense()), 3, np.zeros(n, np.int64),
+                      tol=0.0, maxit=5, w_init=w0)
+    assert not np.allclose(dense.w, plain.w)
