@@ -94,10 +94,25 @@ def main():
             np.asarray([s.data for s in d2.b_li.addressable_shards][0]),
             ref_shard)
 
+    # rank-search drivers in the 2-process world: a small fixed-grid CV +
+    # GetBestRank round on the SAME distributed engine — the reference's
+    # multi-host HPC workflow (reference:R/run_nmf.R:79-107). Every process
+    # runs the full driver loop (fits are collective); the traces and the
+    # selected rank must match the single-process twin exactly.
+    from singlet_tpu.solvers.drivers import cross_validate_nmf, get_best_rank
+
+    df = cross_validate_nmf(eng, ranks=[2, 3, 4], n_replicates=1, tol=0.0,
+                            maxit=4, trace_test_mse=2, seed=7, verbose=0)
+    best = get_best_rank(df)
+
     # every process computes identical global results; process 0 persists
     if pid == 0:
         np.savez(os.path.join(out_dir, "dist_result.npz"),
-                 w=out["w"], d=out["d"], h=out["h"])
+                 w=out["w"], d=out["d"], h=out["h"],
+                 cv_k=df["k"].to_numpy(), cv_rep=df["rep"].to_numpy(),
+                 cv_err=df["test_error"].to_numpy(),
+                 cv_iter=df["iter"].to_numpy(), cv_tol=df["tol"].to_numpy(),
+                 best_rank=np.int64(best))
     jax.distributed.shutdown()
     print(f"worker {pid} OK", flush=True)
 

@@ -73,3 +73,18 @@ def test_two_process_distributed_fit(tmp_path):
     np.testing.assert_allclose(res["w"], out["w"], rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(res["d"], out["d"], rtol=1e-5)
     np.testing.assert_allclose(res["h"], out["h"], rtol=1e-5, atol=1e-7)
+
+    # rank-search drivers: the 2-process cross_validate_nmf + GetBestRank
+    # round must reproduce the single-process traces and selected rank
+    from singlet_tpu.solvers.drivers import cross_validate_nmf, get_best_rank
+
+    df = cross_validate_nmf(eng, ranks=[2, 3, 4], n_replicates=1, tol=0.0,
+                            maxit=4, trace_test_mse=2, seed=7, verbose=0)
+    np.testing.assert_array_equal(res["cv_k"], df["k"].to_numpy())
+    np.testing.assert_array_equal(res["cv_rep"], df["rep"].to_numpy())
+    np.testing.assert_array_equal(res["cv_iter"], df["iter"].to_numpy())
+    np.testing.assert_allclose(res["cv_err"], df["test_error"].to_numpy(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(res["cv_tol"], df["tol"].to_numpy(),
+                               rtol=1e-4, atol=1e-7)
+    assert int(res["best_rank"]) == int(get_best_rank(df))
