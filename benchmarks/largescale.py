@@ -86,21 +86,23 @@ def synth_ell_planes(genes: int, cells: int, nnz_per_cell: int,
 
 def synth_bell_planes(genes: int, cells: int, nnz_per_cell: int,
                       gene_block: int = 512, xp=np):
-    """(b_li, b_val, width) closed-form gb-major blocked-ELL planes
-    (n_gb, cells, width): per gene block, ``per_gb`` jittered evenly-spaced
-    LOCAL indices (pad -1/0 up to the 8-rounded width). Same operand as
+    """(b_li, b_val, width) closed-form gb-major blocked-ELL planes in the
+    engine's 2-D device layout (n_gb*width, cells): per gene block,
+    ``per_gb`` jittered evenly-spaced LOCAL indices (pad -1/0 up to the
+    8-rounded width). Same operand as
     ``shard_ell_data(csc_of(synth_ell_planes(...)))`` up to within-block
     entry order, which the tile build (a sum) does not observe."""
     n_gb, per_gb, width = _synth_cfg(genes, nnz_per_cell, gene_block)
     gb = xp.arange(n_gb, dtype=xp.int32)[:, None, None]
-    c = xp.arange(cells, dtype=xp.int32)[None, :, None]
-    w = xp.arange(width, dtype=xp.int32)[None, None, :]
+    w = xp.arange(width, dtype=xp.int32)[None, :, None]
+    c = xp.arange(cells, dtype=xp.int32)[None, None, :]
     live = w < per_gb
     li = xp.where(live, _synth_li(c, gb, xp.minimum(w, per_gb - 1),
                                   per_gb, gene_block, xp), -1)
     gidx = gb * gene_block + xp.maximum(li, 0)
     val = xp.where(live, _hash_val(c + xp.zeros_like(gidx), gidx), 0.0)
-    return li.astype(xp.int32), val.astype(xp.float32), width
+    return (li.astype(xp.int32).reshape(n_gb * width, cells),
+            val.astype(xp.float32).reshape(n_gb * width, cells), width)
 
 
 def build_sharded_ell_synth(genes: int, cells: int, nnz_per_cell: int,
@@ -127,8 +129,8 @@ def build_sharded_ell_synth(genes: int, cells: int, nnz_per_cell: int,
     width = synth_bell_planes(genes, 1, nnz_per_cell, gene_block)[2]
     sh = lambda spec: NamedSharding(mesh, spec)
     data = ShardedEllData(
-        b_li=jax.device_put(b_li, sh(P(None, AXIS, None))),
-        b_val=jax.device_put(b_val, sh(P(None, AXIS, None))),
+        b_li=jax.device_put(b_li, sh(P(None, AXIS))),
+        b_val=jax.device_put(b_val, sh(P(None, AXIS))),
         b_width=width,
         nonempty=jax.device_put(jnp.ones((cells,), bool), sh(P(AXIS))),
         gene_nonempty=jax.device_put(jnp.ones((genes,), bool), sh(P())),

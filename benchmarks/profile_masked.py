@@ -46,7 +46,7 @@ def main():
     n_blocks = cells // cell_block
     n_gb = genes // gene_block
     b_li, b_val = data.b_li, data.b_val
-    float(jnp.sum(b_val[0, 0]))
+    float(jnp.sum(b_val[0]))
     inv_density = 20
     seed = seed_pair(123)
     iu = triu_pairs(k)
@@ -56,9 +56,14 @@ def main():
     def slice_blk(arr, bi, blk=cell_block):
         return jax.lax.dynamic_slice_in_dim(arr, bi * blk, blk, 0)
 
+    width = data.b_width
+
     def slice_planes(arr, bi):
         return jax.lax.dynamic_slice_in_dim(arr, bi * cell_block,
                                             cell_block, 1)
+
+    def gb_rows(gb):
+        return slice(gb * width, (gb + 1) * width)
 
     def mask_of(bi):
         ids = bi * cell_block + jnp.arange(cell_block)
@@ -91,7 +96,8 @@ def main():
             li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
             s = jnp.zeros(())
             for gb in range(n_gb):
-                tile = _bell_tile(li[gb], lv[gb], gene_block)
+                tile = _bell_tile(li[gb_rows(gb)], lv[gb_rows(gb)],
+                                  gene_block)
                 s = s + tile[0, 0] + tile[-1, -1]
             return acc + s
         return scan_blocks(blk)
@@ -105,7 +111,8 @@ def main():
             li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
             B = jnp.zeros((cell_block, k), jnp.float32)
             for gb in range(n_gb):
-                tile = _bell_tile(li[gb], lv[gb], gene_block)
+                tile = _bell_tile(li[gb_rows(gb)], lv[gb_rows(gb)],
+                                  gene_block)
                 gsl = slice(gb * gene_block, (gb + 1) * gene_block)
                 B = B + jnp.dot(tile * keep[:, gsl], W[gsl],
                                 precision=MM_PRECISION)

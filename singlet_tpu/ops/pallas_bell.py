@@ -11,20 +11,31 @@ feed the MXU directly:
   * ``bell_spmm``     B  = sum_gb densify(li[gb], lv[gb]) @ W[gb]   (cells, k)
   * ``bell_spmm_t``   Bw[gb] = densify(li[gb], lv[gb])^T @ H        (genes, k)
 
+Plane layout (since round 4): 2-D ``(n_gb * width, cells)`` with row
+``gb*width + w`` = slot w of gene block gb — the CELL axis is the 128-lane
+minor dimension, so the planes' natural TPU tiling is COMPACT. The previous
+(n_gb, cells, width) layout put the tiny nnz width (32-56) on the lane axis:
+XLA pads the minor dim to 128, and (after a compile-service update between
+rounds) materializes 4x-padded whole-array copies of both planes — an
+instant HBM OOM at the 524k config (8 GB per plane of pure padding; the 2-D
+layout measures ZERO temp bytes for the same access pattern). The kernels
+build each compute tile TRANSPOSED — (gene_block, bc), genes on sublanes —
+which both matmuls contract directly (no tile transposes anywhere), and the
+(width, bc) windows they read are lane-contiguous.
+
 Both take an optional CV ``seed``: the speckled test-set keep-mask is then
 evaluated IN-KERNEL at the nonzero positions only — the xorshift64 counter
 hash (ops/rngmask.py, bit-faithful to reference:src/singlet.cpp:30-64) runs
-on the (block, width) nnz window instead of the dense (block, genes) grid,
+on the (width, bc) nnz window instead of the dense (block, genes) grid,
 and the training product ``tile * (1 - mask)`` never materializes either
 operand. Validity clamps are unnecessary here: padded cells/genes have no
 nonzeros, so their keep factor multiplies an exact zero.
 
 The grid tiles BOTH axes — (cell sub-blocks, gene blocks) — because
 Mosaic's scoped-VMEM stack accounting scales with the in-kernel tile
-footprint (a full 1024-2048-cell tile measured a 43 MB stack, an instant
-scoped-vmem OOM); 256-cell sub-blocks keep every program's working set a
-few MB. Accumulation happens in the revisited output block along the
-fastest grid dimension (gene blocks for B, cell sub-blocks for Bw).
+footprint; 256-cell sub-blocks keep every program's working set a few MB.
+Accumulation happens in the revisited output block along the fastest grid
+dimension (gene blocks for B, cell sub-blocks for Bw).
 
 Numerics are identical to the XLA formulation: same per-gene-block
 accumulation order, same dot precision, same mask hash.
@@ -45,21 +56,21 @@ _TILE_GROUP = 8
 _CELL_SUBBLOCK = 256
 
 
-def _build_tile(tile_ref, li, lv, gene_block: int, keep=None):
-    """(bc, width) nnz window -> dense (bc, gene_block) tile in the VMEM
-    scratch ``tile_ref``. ``keep`` (bc, width) optionally pre-multiplies
-    the values (the masked-CV training product). Accumulates through the
-    scratch ref in groups of ``_TILE_GROUP`` width steps to bound the
-    live-temporary set."""
+def _build_tile_t(tile_ref, li, lv, gene_block: int, keep=None):
+    """(width, bc) nnz window -> dense TRANSPOSED (gene_block, bc) tile in
+    the VMEM scratch ``tile_ref``. ``keep`` (width, bc) optionally
+    pre-multiplies the values (the masked-CV training product). Accumulates
+    through the scratch ref in groups of ``_TILE_GROUP`` width steps to
+    bound the live-temporary set."""
     if keep is not None:
         lv = lv * keep
-    width = li.shape[1]
-    iota = jnp.arange(gene_block, dtype=li.dtype)[None, :]
+    width = li.shape[0]
+    iota = jax.lax.broadcasted_iota(li.dtype, (gene_block, 1), 0)
     tile_ref[:, :] = jnp.zeros(tile_ref.shape, lv.dtype)
     for w0 in range(0, width, _TILE_GROUP):
         part = None
         for w in range(w0, min(w0 + _TILE_GROUP, width)):
-            term = lv[:, w:w + 1] * (li[:, w:w + 1] == iota)
+            term = lv[w:w + 1, :] * (li[w:w + 1, :] == iota)
             part = term if part is None else part + term
         tile_ref[:, :] = tile_ref[:, :] + part
 
@@ -67,7 +78,7 @@ def _build_tile(tile_ref, li, lv, gene_block: int, keep=None):
 def _keep_at_nnz(seed_ref, cell_ids, li, g, gene_block: int,
                  inv_density: int, dtype):
     """1 - testmask at the nnz positions of gene block ``g``: the counter
-    hash of (seed, cell, global gene) on the (bc, width) window.
+    hash of (seed, cell, global gene) on the (width, bc) window.
     Matches ops/rngmask.mask_block at every (cell, gene) it evaluates."""
     sh, sl = seed_ref[0, 0], seed_ref[0, 1]
     ci = (jnp.zeros_like(cell_ids, jnp.uint32), cell_ids.astype(jnp.uint32))
@@ -75,7 +86,7 @@ def _keep_at_nnz(seed_ref, cell_ids, li, g, gene_block: int,
     gid = (g * gene_block + li).astype(jnp.uint32)  # pad li=-1: value is 0
     gj = (jnp.zeros_like(gid), gid)
     jm = _xs(gj, _J_MIX)
-    x = u64_add((xi[0][:, None], xi[1][:, None]), jm)
+    x = u64_add((xi[0][None, :], xi[1][None, :]), jm)
     x = _xs(x, _XJ_MIX)
     d = jnp.uint32(inv_density)
     two32_mod = jnp.uint32((1 << 32) % inv_density)
@@ -89,11 +100,11 @@ def _spmm_kernel(seed_ref, ids_ref, li_ref, lv_ref, W_ref, out_ref,
     g = pl.program_id(1)          # gene blocks: fastest dim, accumulated
     keep = None
     if masked:
-        keep = _keep_at_nnz(seed_ref, ids_ref[0, :], li_ref[0], g,
+        keep = _keep_at_nnz(seed_ref, ids_ref[0, :], li_ref[...], g,
                             gene_block, inv_density, lv_ref.dtype)
-    _build_tile(tile_ref, li_ref[0], lv_ref[0], gene_block, keep=keep)
+    _build_tile_t(tile_ref, li_ref[...], lv_ref[...], gene_block, keep=keep)
     part = jax.lax.dot_general(tile_ref[:, :], W_ref[0, :, :],
-                               (((1,), (0,)), ((), ())),
+                               (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=precision)
 
@@ -113,11 +124,11 @@ def _spmm_t_kernel(seed_ref, ids_ref, li_ref, lv_ref, H_ref, out_ref,
     i = pl.program_id(1)          # cell sub-blocks: fastest, accumulated
     keep = None
     if masked:
-        keep = _keep_at_nnz(seed_ref, ids_ref[0, :], li_ref[0], g,
+        keep = _keep_at_nnz(seed_ref, ids_ref[0, :], li_ref[...], g,
                             gene_block, inv_density, lv_ref.dtype)
-    _build_tile(tile_ref, li_ref[0], lv_ref[0], gene_block, keep=keep)
+    _build_tile_t(tile_ref, li_ref[...], lv_ref[...], gene_block, keep=keep)
     part = jax.lax.dot_general(
-        tile_ref[:, :], H_ref[:, :], (((0,), (0,)), ((), ())),
+        tile_ref[:, :], H_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(i == 0)
@@ -153,12 +164,14 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
               precision=None, interpret: bool = False):
     """B = sum_gb densify(b_li[gb], b_val[gb])[*keep] @ W[gb*GB:(gb+1)*GB].
 
-    b_li/b_val: (n_gb, block, width); W: (n_gb*gene_block, k);
+    b_li/b_val: (n_gb*width, block) 2-D planes; W: (n_gb*gene_block, k);
     seed: uint32[2]; cell_ids: (block,) int32 global ids (masked only).
     Returns (block, k) float32.
     """
-    n_gb, block, width = b_li.shape
     k = W.shape[1]
+    block = b_li.shape[1]
+    n_gb = W.shape[0] // gene_block
+    width = b_li.shape[0] // n_gb
     bc = _sub_block(block)
     seed2 = jnp.asarray(seed, jnp.uint32).reshape(1, 2)
     ids2 = jnp.asarray(cell_ids, jnp.int32).reshape(1, block)
@@ -172,9 +185,9 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bc), lambda i, g: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc, width), lambda i, g: (g, i, 0),
+            pl.BlockSpec((width, bc), lambda i, g: (g, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc, width), lambda i, g: (g, i, 0),
+            pl.BlockSpec((width, bc), lambda i, g: (g, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gene_block, k), lambda i, g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -182,7 +195,7 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
         out_specs=pl.BlockSpec((bc, k), lambda i, g: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((block, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bc, gene_block), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((gene_block, bc), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)),
@@ -191,20 +204,23 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "gene_block", "inv_density", "masked", "precision", "interpret"))
+    "gene_block", "n_gb", "inv_density", "masked", "precision",
+    "interpret"))
 def bell_spmm_t(b_li, b_val, H, seed, cell_ids, *, gene_block: int,
-                inv_density: int = 20, masked: bool = False,
+                n_gb: int, inv_density: int = 20, masked: bool = False,
                 precision=None, interpret: bool = False):
     """Bw = concat_gb densify(b_li[gb], b_val[gb])[*keep]^T @ H —
     the w-update right-hand-side partials of one cell block.
 
-    b_li/b_val: (n_gb, block, width); H: (block, k). Returns
+    b_li/b_val: (n_gb*width, block) 2-D planes; H: (block, k). Returns
     (n_gb*gene_block, k) float32 (each gene block accumulated over the
-    cell sub-blocks, the fastest grid dimension).
+    cell sub-blocks, the fastest grid dimension). ``n_gb`` is static —
+    the plane rows split as n_gb * width.
     """
-    n_gb, block, width = b_li.shape
     k = H.shape[1]
+    block = b_li.shape[1]
     bc = _sub_block(block)
+    width = b_li.shape[0] // n_gb
     seed2 = jnp.asarray(seed, jnp.uint32).reshape(1, 2)
     ids2 = jnp.asarray(cell_ids, jnp.int32).reshape(1, block)
     out = pl.pallas_call(
@@ -217,9 +233,9 @@ def bell_spmm_t(b_li, b_val, H, seed, cell_ids, *, gene_block: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bc), lambda g, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc, width), lambda g, i: (g, i, 0),
+            pl.BlockSpec((width, bc), lambda g, i: (g, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc, width), lambda g, i: (g, i, 0),
+            pl.BlockSpec((width, bc), lambda g, i: (g, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, k), lambda g, i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -227,7 +243,7 @@ def bell_spmm_t(b_li, b_val, H, seed, cell_ids, *, gene_block: int,
         out_specs=pl.BlockSpec((1, gene_block, k), lambda g, i: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_gb, gene_block, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bc, gene_block), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((gene_block, bc), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)),

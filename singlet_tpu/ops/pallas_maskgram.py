@@ -61,27 +61,37 @@ def _mask_tile(seed_ref, cell_ids, g, gene_block: int, inv_density: int,
     masked — and never counted in test MSE — so their product contribution
     must be the 0 keep... here MASKED=0 contribution, i.e. clamp to 0)."""
     sh, sl = seed_ref[0, 0], seed_ref[0, 1]
+    bc = cell_ids.shape[0]
     ci = (jnp.zeros_like(cell_ids, jnp.uint32), cell_ids.astype(jnp.uint32))
     xi = hash_i(sh, sl, ci)                                    # (bc,) pair
     gid = g * gene_block + jnp.arange(gene_block, dtype=jnp.int32)
     gj = (jnp.zeros_like(gid, jnp.uint32), gid.astype(jnp.uint32))
     jm = _xs(gj, _J_MIX)
+    # validity clamps compare 2D int tiles (broadcasted_iota + an explicit
+    # int broadcast): Mosaic rejects broadcasting 1D BOOL vectors into 2D
     if genes_on_rows:
         x = u64_add((xi[0][None, :], xi[1][None, :]),
                     (jm[0][:, None], jm[1][:, None]))
-        valid = (cell_ids < cells_true)[None, :] & \
-            (gid < genes_true)[:, None]
+        gid2 = g * gene_block + jax.lax.broadcasted_iota(
+            jnp.int32, (gene_block, bc), 0)
+        cid2 = jnp.broadcast_to(cell_ids[None, :], (gene_block, bc))
     else:
         x = u64_add((xi[0][:, None], xi[1][:, None]),
                     (jm[0][None, :], jm[1][None, :]))
-        valid = (cell_ids < cells_true)[:, None] & \
-            (gid < genes_true)[None, :]
+        gid2 = g * gene_block + jax.lax.broadcasted_iota(
+            jnp.int32, (bc, gene_block), 1)
+        cid2 = jnp.broadcast_to(cell_ids[:, None], (bc, gene_block))
+    valid = (cid2 < cells_true) & (gid2 < genes_true)
     x = _xs(x, _XJ_MIX)
     d = jnp.uint32(inv_density)
     two32_mod = jnp.uint32((1 << 32) % inv_density)
     masked = ((x[0] % d) * two32_mod + x[1] % d) % d == 0
-    return jnp.where(masked & valid, jnp.ones((), jnp.bfloat16),
-                     jnp.zeros((), jnp.bfloat16))
+    # select in the f32 domain (the bools carry 32-bit (8,128) tiling) and
+    # convert the RESULT to bf16 — selecting bf16 directly would need an
+    # i1 relayout to 16-bit tiling, which Mosaic rejects
+    m32 = jnp.where(masked & valid, jnp.ones((), jnp.float32),
+                    jnp.zeros((), jnp.float32))
+    return m32.astype(jnp.bfloat16)
 
 
 def _mpw_kernel(seed_ref, ids_ref, Pw_ref, out_ref, *, gene_block: int,

@@ -94,10 +94,20 @@ class ShardedEllData:
     SpMM directions stream the planes exactly once per pass, and the
     uniform width gives every (cell_block x gene_block) compute tile a
     static shape.
+
+    Device layout (since round 4): the planes are stored 2-D as
+    ``(n_gb * width, cells_pad)`` — row ``gb*width + w`` holds slot w of
+    gene block gb. The CELL axis is the 128-lane minor dimension, so the
+    arrays' natural TPU tiling is COMPACT; the previous
+    ``(n_gb, cells, width)`` layout put the tiny width (32-56) on the lane
+    axis, which XLA pads to 128 — and (after a compile-service update) it
+    now materializes whole 4x-padded plane copies, an instant HBM OOM at
+    the 524k-cell config. ``planes_to_device_layout`` converts the
+    packers' 3-D output.
     """
 
-    b_li: jnp.ndarray           # (n_gb, cells_pad, width) i32 local gene ids, P(None, AXIS, None)
-    b_val: jnp.ndarray          # (n_gb, cells_pad, width) f32
+    b_li: jnp.ndarray           # (n_gb*width, cells_pad) i32 local gene ids, P(None, AXIS)
+    b_val: jnp.ndarray          # (n_gb*width, cells_pad) f32
     b_width: int                # static uniform plane width
     nonempty: jnp.ndarray       # (cells_pad,) bool, P(AXIS)
     gene_nonempty: jnp.ndarray  # (genes_pad,) bool, replicated
@@ -163,6 +173,15 @@ def _pack_bell(A: sp.csc_matrix, cols_pad: int, gene_block: int,
     return native.csc_to_bell(A, cols_pad, gene_block, n_gb, width)
 
 
+def planes_to_device_layout(planes: np.ndarray) -> np.ndarray:
+    """Packer 3-D planes (n_gb, cells, width) -> the engine's 2-D device
+    layout (n_gb * width, cells): cells on the 128-lane minor axis, so the
+    array's TPU tiling is compact (see ShardedEllData)."""
+    n_gb, cells, width = planes.shape
+    return np.ascontiguousarray(planes.transpose(0, 2, 1)).reshape(
+        n_gb * width, cells)
+
+
 def ell_geometry(genes: int, cells: int, mesh: Mesh, cell_block: int = 2048,
                  gene_block: int = 512) -> Tuple[int, int, int, int]:
     """(genes_pad, cells_pad, cell_block, gene_block) for an ELL-sharded
@@ -199,8 +218,9 @@ def shard_ell_data(A: sp.spmatrix, mesh: Mesh, cell_block: int = 2048,
 
     sh = lambda spec: NamedSharding(mesh, spec)
     return ShardedEllData(
-        b_li=jax.device_put(b_li, sh(P(None, AXIS, None))),
-        b_val=jax.device_put(b_val, sh(P(None, AXIS, None))),
+        b_li=jax.device_put(planes_to_device_layout(b_li), sh(P(None, AXIS))),
+        b_val=jax.device_put(planes_to_device_layout(b_val),
+                             sh(P(None, AXIS))),
         b_width=width,
         nonempty=jax.device_put(ne, sh(P(AXIS))),
         gene_nonempty=jax.device_put(gne, sh(P())),
@@ -296,10 +316,10 @@ def _assemble_from_local_planes(b_li, b_val, ne_loc, gene_present,
 
     sh = lambda spec: NamedSharding(mesh, spec)
     mk = jax.make_array_from_process_local_data
-    a_idx_g = mk(sh(P(None, AXIS, None)), b_li,
-                 global_shape=(n_gb, cells_pad, width))
-    a_val_g = mk(sh(P(None, AXIS, None)), b_val,
-                 global_shape=(n_gb, cells_pad, width))
+    a_idx_g = mk(sh(P(None, AXIS)), planes_to_device_layout(b_li),
+                 global_shape=(n_gb * width, cells_pad))
+    a_val_g = mk(sh(P(None, AXIS)), planes_to_device_layout(b_val),
+                 global_shape=(n_gb * width, cells_pad))
     ne_g = mk(sh(P(AXIS)), ne_loc, global_shape=(cells_pad,))
     # validate the contiguity assumption: this process's addressable A-plane
     # shards must cover exactly [start, stop) on the cell axis
@@ -480,10 +500,10 @@ _BELL_TILE_UNROLL_MAX_WIDTH = 128
 
 
 def _bell_tile(li, lv, gene_block: int):
-    """(block, width) local-index blocked-ELL slice -> dense
-    (block, gene_block) tile, as a fused multiply-compare-sum: no
-    gather/scatter anywhere (pad entries have li = -1 / val = 0, so they
-    contribute exactly zero).
+    """(width, block) local-index blocked-ELL window (the 2-D plane
+    layout's per-gene-block rows) -> dense (block, gene_block) tile, as a
+    fused multiply-compare-sum: no gather/scatter anywhere (pad entries
+    have li = -1 / val = 0, so they contribute exactly zero).
 
     Two formulations, same math: narrow planes use a statically-unrolled
     chain of FMAs that XLA fuses into ONE VPU kernel with no 3D
@@ -491,12 +511,15 @@ def _bell_tile(li, lv, gene_block: int):
     single compare-and-reduce over the width axis so traced-HLO size stays
     independent of the plane width."""
     iota = jnp.arange(gene_block, dtype=li.dtype)[None, :]
-    if li.shape[1] > _BELL_TILE_UNROLL_MAX_WIDTH:
+    if li.shape[0] > _BELL_TILE_UNROLL_MAX_WIDTH:
         onehot = (li[:, :, None] == iota[None]).astype(lv.dtype)
-        return jnp.sum(lv[:, :, None] * onehot, axis=1)
-    tile = jnp.zeros((li.shape[0], gene_block), lv.dtype)
-    for w in range(li.shape[1]):
-        tile = tile + lv[:, w:w + 1] * (li[:, w:w + 1] == iota)
+        return jnp.sum(lv[:, :, None] * onehot, axis=0)
+    tile = jnp.zeros((li.shape[1], gene_block), lv.dtype)
+    for w in range(li.shape[0]):
+        # static SLICES, not integer row indexing — the latter lowers to a
+        # (constant-index) stablehlo.gather, which the no-gather invariant
+        # test rightly rejects
+        tile = tile + lv[w:w + 1, :].T * (li[w:w + 1, :].T == iota)
     return tile
 
 
@@ -514,7 +537,7 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int,
     ``_build_local_fns``)."""
     fns = _build_local_fns(data, inv_density, linked=linked)
     mesh = data.mesh
-    specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
+    specs_a = (P(None, AXIS), P(None, AXIS), P(AXIS), P(None))
     link_specs = (P(AXIS, None), P(None, None)) if linked else ()
 
     # trailing sweep_cap (traced scalar, adaptive inexact-solve schedule) so
@@ -540,7 +563,7 @@ def build_sharded_ell_steps(data: ShardedEllData, inv_density: int,
         check_vma=False))
     mse_fn = jax.jit(jax.shard_map(
         fns["mse"], mesh=mesh,
-        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(None, None),
+        in_specs=(P(None, AXIS), P(None, AXIS), P(None, None),
                   P(None), P(AXIS, None), P(None)),
         out_specs=P(),
         check_vma=False))
@@ -573,8 +596,10 @@ def _make_spmm_fns(gene_block: int, n_gb: int, inv_density: int):
     _zero_seed = jnp.zeros((2,), jnp.uint32)
 
     def _gb_tiles(li, lv):
+        width = li.shape[0] // n_gb
         for gb in range(n_gb):
-            yield gb, _bell_tile(li[gb], lv[gb], gene_block)
+            sl = slice(gb * width, (gb + 1) * width)
+            yield gb, _bell_tile(li[sl], lv[sl], gene_block)
 
     def _keep_dense(seed, ids, gsl):
         # CPU-path keep factor: 1 - mask over one gene-block slice. No
@@ -610,7 +635,7 @@ def _make_spmm_fns(gene_block: int, n_gb: int, inv_density: int):
             return bell_spmm_t(
                 li, lv, Hb, _zero_seed if seed is None else seed,
                 jnp.zeros((li.shape[1],), jnp.int32) if ids is None else ids,
-                gene_block=gene_block, inv_density=inv_density,
+                gene_block=gene_block, n_gb=n_gb, inv_density=inv_density,
                 masked=seed is not None, precision=MM_PRECISION)
         parts = []
         for gb, tile in _gb_tiles(li, lv):
@@ -650,10 +675,12 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
     _spmm_b, _spmm_bw = _make_spmm_fns(gene_block, n_gb, inv_density)
 
     def _gb_tiles(li, lv):
-        """Per-gene-block dense tiles of one cell block (static gb slices;
-        li/lv: (n_gb, cell_block, width)) — the _mse evaluation path."""
+        """Per-gene-block dense tiles of one cell block (static row-range
+        slices; li/lv: (n_gb*width, cell_block)) — the _mse path."""
+        width = li.shape[0] // n_gb
         for gb in range(n_gb):
-            yield gb, _bell_tile(li[gb], lv[gb], gene_block)
+            sl = slice(gb * width, (gb + 1) * width)
+            yield gb, _bell_tile(li[sl], lv[sl], gene_block)
 
     import os as _os
 
@@ -980,7 +1007,7 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
         it, W, H, d, _, exact, tols = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, tols, exact
 
-    specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
+    specs_a = (P(None, AXIS), P(None, AXIS), P(AXIS), P(None))
     if masked:
         extra_specs = (P(None), P(), P(), P(), P(), P(), P(), P(), P(), P())
     else:
@@ -1054,7 +1081,7 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
          tols, _) = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, stopped, n_tr, tmse, t_iters, scores, tols
 
-    specs_a = (P(None, AXIS, None), P(None, AXIS, None), P(AXIS), P(None))
+    specs_a = (P(None, AXIS), P(None, AXIS), P(AXIS), P(None))
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=specs_a + (P(None, None), P(AXIS, None), P(None),
@@ -1193,7 +1220,7 @@ def build_sharded_ell_gcnmf_loop(data: ShardedEllData,
         it, W, H, d, _, _, tols = jax.lax.while_loop(cond, body, st0)
         return W, H, d, it, tols
 
-    plane_spec = P(None, AXIS, None)
+    plane_spec = P(None, AXIS)
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
         in_specs=(plane_spec,) * 4 + (P(None, None), P(AXIS, None),
@@ -1307,7 +1334,7 @@ def build_sharded_ell_batch_loop(data: ShardedEllData, n_batches: int,
 
     return jax.jit(jax.shard_map(
         _loop, mesh=mesh,
-        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(AXIS),
+        in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS),
                   P(AXIS, None), P(None), P(None, None), P(AXIS, None),
                   P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS, None), P(None), P(), P()),
@@ -1597,7 +1624,7 @@ class ShardedEllEngine:
             fns = _build_local_fns(data, 20)
             self._loops[key] = jax.jit(jax.shard_map(
                 fns["project"], mesh=self.mesh,
-                in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(AXIS),
+                in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS),
                           P(None, None), P(), P()),
                 out_specs=(P(AXIS, None), P(None)),
                 check_vma=False))

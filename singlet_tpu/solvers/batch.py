@@ -38,6 +38,11 @@ def calc_l1_matrix(h: np.ndarray, batch_id: np.ndarray) -> np.ndarray:
         if sel.any():
             means[:, b] = h[:, sel].mean(axis=1)
     out = np.zeros_like(means)
+    if n_batches < 2:
+        # a single batch has no "other batches" to contrast against — the
+        # penalty is zero (the reference never exercises this; its delete+
+        # mean would produce NaN)
+        return out
     for b in range(n_batches):
         others = np.delete(means, b, axis=1)
         out[:, b] = means[:, b] - others.mean(axis=1)

@@ -86,10 +86,13 @@ def test_no_scatter_in_operand_densify(rng):
     data = eng.data
     n_gb = data.genes_pad // data.gene_block
 
+    width = data.b_width
+
     def spmm(b_li, b_val, W):
         B = jnp.zeros((b_li.shape[1], W.shape[1]), W.dtype)
         for gb in range(n_gb):
-            tile = _bell_tile(b_li[gb], b_val[gb], data.gene_block)
+            sl = slice(gb * width, (gb + 1) * width)
+            tile = _bell_tile(b_li[sl], b_val[sl], data.gene_block)
             B = B + tile @ W[gb * data.gene_block:(gb + 1) * data.gene_block]
         return B
 
@@ -110,12 +113,13 @@ def test_bell_tile_wide_plane_formulation_equivalence():
 
     rng = np.random.default_rng(5)
     block, width, gene_block = 16, 12, 32
-    li = np.full((block, width), -1, np.int32)
-    lv = np.zeros((block, width), np.float32)
+    # 2-D device layout: (width, block) windows
+    li = np.full((width, block), -1, np.int32)
+    lv = np.zeros((width, block), np.float32)
     for c in range(block):
         n = rng.integers(0, width + 1)
-        li[c, :n] = np.sort(rng.choice(gene_block, size=n, replace=False))
-        lv[c, :n] = rng.random(n) + 0.1
+        li[:n, c] = np.sort(rng.choice(gene_block, size=n, replace=False))
+        lv[:n, c] = rng.random(n) + 0.1
 
     narrow = np.asarray(_bell_tile(jnp.asarray(li), jnp.asarray(lv),
                                    gene_block))
@@ -131,6 +135,6 @@ def test_bell_tile_wide_plane_formulation_equivalence():
     dense = np.zeros((block, gene_block), np.float32)
     for c in range(block):
         for w in range(width):
-            if li[c, w] >= 0:
-                dense[c, li[c, w]] += lv[c, w]
+            if li[w, c] >= 0:
+                dense[c, li[w, c]] += lv[w, c]
     np.testing.assert_allclose(narrow, dense, rtol=1e-6)

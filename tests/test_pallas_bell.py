@@ -22,15 +22,23 @@ def _planes(rng, genes=96, cells=48, density=0.2, gene_block=32):
     from singlet_tpu.parallel.sharded_ell import bell_width, bell_widths
 
     width = bell_width(bell_widths(A, n_gb, gene_block))
+    from singlet_tpu.parallel.sharded_ell import planes_to_device_layout
+
     li, lv = native.csc_to_bell(A, cells, gene_block, n_gb, width)
-    return A, jnp.asarray(li), jnp.asarray(lv), gene_block, n_gb
+    return (A, jnp.asarray(planes_to_device_layout(li)),
+            jnp.asarray(planes_to_device_layout(lv)), gene_block, n_gb)
 
 
-def _xla_b(li, lv, W, gene_block, keep=None):
-    n_gb = li.shape[0]
+def _gb_rows(li, gb, n_gb):
+    width = li.shape[0] // n_gb
+    return slice(gb * width, (gb + 1) * width)
+
+
+def _xla_b(li, lv, W, gene_block, n_gb, keep=None):
     B = jnp.zeros((li.shape[1], W.shape[1]), W.dtype)
     for gb in range(n_gb):
-        tile = _bell_tile(li[gb], lv[gb], gene_block)
+        sl = _gb_rows(li, gb, n_gb)
+        tile = _bell_tile(li[sl], lv[sl], gene_block)
         if keep is not None:
             tile = tile * keep[:, gb * gene_block:(gb + 1) * gene_block]
         B = B + tile @ W[gb * gene_block:(gb + 1) * gene_block]
@@ -54,7 +62,7 @@ def test_bell_spmm_matches_xla_tiles(rng, masked):
 
     got = bell_spmm(li, lv, W, seed, ids, gene_block=gene_block,
                     inv_density=inv_density, masked=masked, interpret=True)
-    want = _xla_b(li, lv, W, gene_block, keep=keep)
+    want = _xla_b(li, lv, W, gene_block, n_gb, keep=keep)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -80,11 +88,13 @@ def test_bell_spmm_t_matches_xla_tiles(rng, masked):
         keep = 1.0 - m.astype(jnp.float32)
 
     got = bell_spmm_t(li, lv, H, seed, ids, gene_block=gene_block,
-                      inv_density=inv_density, masked=masked, interpret=True)
+                      n_gb=n_gb, inv_density=inv_density, masked=masked,
+                      interpret=True)
 
     parts = []
     for gb in range(n_gb):
-        tile = _bell_tile(li[gb], lv[gb], gene_block)
+        sl = _gb_rows(li, gb, n_gb)
+        tile = _bell_tile(li[sl], lv[sl], gene_block)
         if keep is not None:
             tile = tile * keep[:, gb * gene_block:(gb + 1) * gene_block]
         parts.append(tile.T @ H)
@@ -108,6 +118,6 @@ def test_keep_at_nnz_matches_dense_mask_on_global_ids(rng):
 
     got = bell_spmm(li, lv, W, seed, ids, gene_block=gene_block,
                     inv_density=6, masked=True, interpret=True)
-    want = _xla_b(li, lv, W, gene_block, keep=keep)
+    want = _xla_b(li, lv, W, gene_block, n_gb, keep=keep)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)

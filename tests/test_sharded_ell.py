@@ -175,13 +175,16 @@ def test_largescale_synth_planes_regular(rng):
     b_li, b_val, width = synth_bell_planes(genes, cells, p,
                                            gene_block=gb, xp=np)
     n_gb = genes // gb
-    assert b_li.shape == (n_gb, cells, width)
+    # 2-D device layout: row gb*width + w, column c
+    assert b_li.shape == (n_gb * width, cells)
+    li3 = b_li.reshape(n_gb, width, cells)
+    lv3 = b_val.reshape(n_gb, width, cells)
     for c in range(0, cells, 17):
         row = set()
         for g in range(n_gb):
-            live = b_li[g, c] >= 0
+            live = li3[g, :, c] >= 0
             row |= {(g * gb + int(i), float(v)) for i, v in
-                    zip(b_li[g, c][live], b_val[g, c][live])}
+                    zip(li3[g, :, c][live], lv3[g, :, c][live])}
         ref = {(int(i), float(v)) for i, v in zip(a_idx[c], a_val[c])}
         assert row == ref
 
@@ -295,7 +298,7 @@ def test_bell_pack_roundtrip(rng):
     assert (lv[li == -1] == 0).all()
 
     dense = np.concatenate(
-        [np.asarray(_bell_tile(jnp.asarray(li[gb]), jnp.asarray(lv[gb]),
+        [np.asarray(_bell_tile(jnp.asarray(li[gb].T), jnp.asarray(lv[gb].T),
                                gene_block))
          for gb in range(n_gb)], axis=1)     # (cols_pad, genes)
     np.testing.assert_allclose(dense[:cells].T, D, rtol=1e-6)
@@ -491,7 +494,9 @@ def test_sharded_batch_l1_matches_dense(rng, mesh8):
                        mesh=mesh8)
     np.testing.assert_allclose(meshed.w, dense.w, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(meshed.h, dense.h, rtol=2e-4, atol=2e-5)
-    # the batch penalty must actually bite (differ from plain L1)
+    # the batch penalty must actually bite (differ from the zero-penalty
+    # single-batch case) and single-batch must stay finite
     plain = nmf_batch(np.asarray(A.todense()), 3, np.zeros(n, np.int64),
                       tol=0.0, maxit=5, w_init=w0)
+    assert np.isfinite(plain.w).all()
     assert not np.allclose(dense.w, plain.w)
