@@ -184,3 +184,77 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sweepcost():
+    """Isolate the in-fit per-cell-Gram CD cost by running the SAME masked
+    sharded step at several sweep caps — the cap is a RUNTIME argument of
+    the per-step API (one compiled program), so iteration time as a
+    function of cap separates the CD-sweep cost from everything else
+    INSIDE the real program. This answers the round-3 'probe 0.27 s vs
+    in-fit 0.85 s' anomaly with a decomposition that sums by construction:
+    iter(cap) - iter(1) IS the marginal sweep cost at that cap.
+
+    Run: python benchmarks/profile_masked.py --sweepcost [--cells N]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweepcost", action="store_true")
+    ap.add_argument("--cells", type=int, default=524288)
+    ap.add_argument("--genes", type=int, default=16384)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--nnz", type=int, default=824)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/singlet_tpu_jax_cache")
+    from benchmarks.largescale import build_sharded_ell_synth
+    from singlet_tpu.ops.rngmask import seed_pair
+    from singlet_tpu.parallel.sharded_ell import ShardedEllEngine
+
+    data = build_sharded_ell_synth(args.genes, args.cells, args.nnz)
+    eng = ShardedEllEngine(None, data=data)
+    _, masked_step, _ = eng.steps(20)
+    W0, H0, eargs, _ = eng._state(args.k, None, 0)
+    f32 = jnp.float32
+    sp_ = seed_pair(0)
+
+    def iters(cap, n):
+        # a short warm-started trajectory at the given cap; the scalar d
+        # fetch at the end is the device sync
+        W, H = W0, H0
+        for _ in range(n):
+            W, H, d, tol = masked_step(*eargs, W, H, sp_, f32(0.01),
+                                       f32(0.01), f32(0.0), f32(0.0),
+                                       jnp.int32(args.k), f32(cap))
+        float(d[0])
+        return W, H
+
+    res = {"metric": "masked_sweepcost", "cells": args.cells, "k": args.k}
+    iters(1e9, 1)                      # compile + warm
+    for cap in (1, 8, 32, 100, 1e9):
+        t0 = time.perf_counter()
+        iters(cap, args.iters)
+        per = (time.perf_counter() - t0) / args.iters
+        res[f"iter_s_cap{int(cap)}"] = round(per, 3)
+        print(f"cap {int(cap):>10}: {per:.3f} s/iter", flush=True)
+    res["nnls_s_cap100_minus_cap1"] = round(
+        res["iter_s_cap100"] - res["iter_s_cap1"], 3)
+    import json as _json
+
+    print(_json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+    if "--sweepcost" in sys.argv:
+        sweepcost()
+    else:
+        main()
