@@ -182,8 +182,156 @@ def main():
     print(json.dumps(res), flush=True)
 
 
-if __name__ == "__main__":
-    main()
+def kernels():
+    """Per-pass timing of the round-4 masked-pipeline kernels on the real
+    operand shapes: the fused in-kernel-mask packed products
+    (ops/pallas_maskgram.py), the masked bELL SpMMs (ops/pallas_bell.py),
+    and the packed-t CD solve, each scanned over all cell blocks with a
+    chained dependency (the relay dedupes unchained repeats).
+
+    Run: python benchmarks/profile_masked.py --kernels [--cells N]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernels", action="store_true")
+    ap.add_argument("--cells", type=int, default=524288)
+    ap.add_argument("--genes", type=int, default=16384)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--nnz", type=int, default=824)
+    args = ap.parse_args()
+
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/singlet_tpu_jax_cache")
+    from benchmarks.largescale import build_sharded_ell_synth
+    from singlet_tpu.ops.linalg import (MM_PRECISION, packed_outer_products,
+                                        pad_pairs, triu_pairs)
+    from singlet_tpu.ops.nnls import solve_nnls_packed_t
+    from singlet_tpu.ops.pallas_bell import bell_spmm, bell_spmm_t
+    from singlet_tpu.ops.pallas_maskgram import (mask_packed_h_t,
+                                                 mask_packed_w_t)
+    from singlet_tpu.ops.rngmask import seed_pair
+
+    genes, cells, k = args.genes, args.cells, args.k
+    data = build_sharded_ell_synth(genes, cells, args.nnz)
+    cell_block, gene_block = data.cell_block, data.gene_block
+    n_blocks = cells // cell_block
+    n_gb = genes // gene_block
+    b_li, b_val = data.b_li, data.b_val
+    float(jnp.sum(b_val[0]))
+    inv_density = 20
+    seed = seed_pair(123)
+    iu = triu_pairs(k)
+    npairs = k * (k + 1) // 2
+    np_pad = -(-npairs // 128) * 128
+    iu_pad = pad_pairs(iu, np_pad)
+
+    key = jax.random.PRNGKey(0)
+    W = jax.random.uniform(key, (genes, k), jnp.float32)
+    Pw = packed_outer_products(W, iu_pad).astype(jnp.bfloat16)
+    a_full = jnp.dot(W.T, W) + 1e-15 * jnp.eye(k)
+    H = jax.random.uniform(jax.random.PRNGKey(1), (cells, k), jnp.float32)
+    B0 = jax.random.uniform(jax.random.PRNGKey(3), (cell_block, k))
+    X0 = jnp.zeros((cell_block, k), jnp.float32)
+    pk0 = jax.random.uniform(jax.random.PRNGKey(2), (np_pad, cell_block),
+                             jnp.float32)
+
+    def scan_blocks(blk_fn):
+        acc, _ = jax.lax.scan(lambda a, bi: (blk_fn(a, bi), None),
+                              jnp.zeros(()), jnp.arange(n_blocks))
+        return acc
+
+    def slice_planes(arr, bi):
+        return jax.lax.dynamic_slice_in_dim(arr, bi * cell_block,
+                                            cell_block, 1)
+
+    def ids_of(bi):
+        return bi * cell_block + jnp.arange(cell_block, dtype=jnp.int32)
+
+    @jax.jit
+    def mpw(seed, Pw):
+        def blk(acc, bi):
+            pt = mask_packed_w_t(Pw, seed, ids_of(bi) + acc.astype(jnp.int32)
+                                 * 0, gene_block=gene_block,
+                                 inv_density=inv_density, cells_true=cells,
+                                 genes_true=genes)
+            return acc + pt[0, 0] + pt[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def mph(seed, H):
+        def blk(carry, bi):
+            acc, pk_t = carry
+            Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
+                                              cell_block, 0)
+            Ph = packed_outer_products(Hb + acc * 1e-30, iu_pad)
+            pk_t = mask_packed_h_t(Ph, seed, ids_of(bi), pk_t,
+                                   gene_block=gene_block,
+                                   inv_density=inv_density, cells_true=cells,
+                                   genes_true=genes)
+            return (acc + pk_t[0, 0] + pk_t[-1, -1], pk_t), None
+        carry0 = (jnp.zeros(()), jnp.zeros((np_pad, genes), jnp.float32))
+        (acc, _), _ = jax.lax.scan(
+            lambda c, bi: blk(c, bi), carry0, jnp.arange(n_blocks))
+        return acc
+
+    @jax.jit
+    def spmm_b_masked(seed, b_li, b_val, W):
+        def blk(acc, bi):
+            li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
+            B = bell_spmm(li, lv, W + acc * 1e-30, seed, ids_of(bi),
+                          gene_block=gene_block, inv_density=inv_density,
+                          masked=True, precision=MM_PRECISION)
+            return acc + B[0, 0] + B[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def spmm_bw_masked(seed, b_li, b_val, H):
+        def blk(acc, bi):
+            li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
+            Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
+                                              cell_block, 0)
+            Bw = bell_spmm_t(li, lv, Hb + acc * 1e-30, seed, ids_of(bi),
+                             gene_block=gene_block, n_gb=n_gb,
+                             inv_density=inv_density, masked=True,
+                             precision=MM_PRECISION)
+            return acc + Bw[0, 0] + Bw[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def nnls_packed_t32(pk0, a_full, B, X0):
+        def blk(acc, bi):
+            pk = pk0 + acc * 1e-30
+            Hb = solve_nnls_packed_t(a_full, pk, iu, B, X0, L1=0.01,
+                                     sweep_cap=jnp.float32(32.0))
+            return acc + Hb[0, 0] + Hb[-1, -1]
+        return scan_blocks(blk)
+
+    def timed(f, *a, n=2):
+        float(f(*a))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            float(f(*a))
+        return round((time.perf_counter() - t0) / n, 3)
+
+    res = {"metric": "masked_kernels_per_pass", "cells": cells, "k": k}
+    for name, fn, fa in [
+        ("mask_packed_w_t_s", mpw, (seed, Pw)),
+        ("mask_packed_h_t_s", mph, (seed, H)),
+        ("bell_spmm_masked_s", spmm_b_masked, (seed, b_li, b_val, W)),
+        ("bell_spmm_t_masked_s", spmm_bw_masked, (seed, b_li, b_val, H)),
+        ("nnls_packed_t_cap32_s", nnls_packed_t32,
+         (pk0, a_full, B0, X0)),
+    ]:
+        res[name] = timed(fn, *fa)
+        print(name, res[name], flush=True)
+    print(json.dumps(res), flush=True)
 
 
 def sweepcost():
@@ -256,5 +404,7 @@ if __name__ == "__main__":
     import sys
     if "--sweepcost" in sys.argv:
         sweepcost()
+    elif "--kernels" in sys.argv:
+        kernels()
     else:
         main()

@@ -42,7 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from singlet_tpu.ops.rngmask import _J_MIX, _XJ_MIX, _xs, hash_i, u64_add
 
-_CELL_SUBBLOCK = 256
+# The packed-product operand (np_pad wide, ~165 MB bf16 at k=100/16k genes)
+# is re-read once per cell sub-block: bc sets the re-read factor, so it is
+# as LARGE as VMEM allows (the bell kernels use 256 because their per-block
+# operands are k-wide and tiny; here bc=256 measured 8x the operand traffic
+# of the XLA matmul and erased the fusion win). At bc=1024 the working set
+# is ~60 MB: out (np_pad, bc) f32 + double-buffered operand blocks + the
+# mask tile and its u64-hash temporaries.
+_CELL_SUBBLOCK = 1024
 
 
 def _sub_block(block: int) -> int:
@@ -113,24 +120,25 @@ def _mpw_kernel(seed_ref, ids_ref, Pw_ref, out_ref, *, gene_block: int,
         out_ref[:, :] = out_ref[:, :] + part
 
 
-def _mph_kernel(seed_ref, ids_ref, Ph_ref, out_ref, *, gene_block: int,
-                inv_density: int, cells_true: int, genes_true: int):
-    """Pk_t[p, g*GB:(g+1)*GB] = sum_c mask(c, g) Ph[c, p]; cell sub-blocks
-    (fastest grid dim) accumulate into the revisited output block."""
+def _mph_kernel(seed_ref, ids_ref, Ph_ref, acc_ref, out_ref, *,
+                gene_block: int, inv_density: int, cells_true: int,
+                genes_true: int):
+    """out[p, g*GB:(g+1)*GB] = acc[...] + sum_c mask(c, g) Ph[c, p].
+
+    ``acc_ref`` is ALIASED to the output (input_output_aliases), so the
+    revisited output block already holds the running accumulator on first
+    visit and the kernel just adds — the caller's (np_pad, genes_pad)
+    carry is updated in place with no separate temp array (at the 524k
+    config the carry is 335 MB; a kernel-temp + XLA add would move it
+    twice more per pass)."""
     g = pl.program_id(0)
     i = pl.program_id(1)
+    del acc_ref  # aliased: its content IS out_ref's initial content
     m = _mask_tile(seed_ref, ids_ref[0, :], g, gene_block, inv_density,
                    cells_true, genes_true, genes_on_rows=False)  # (bc, GB)
     part = jax.lax.dot_general(Ph_ref[:, :], m, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:, :] = part
-
-    @pl.when(i > 0)
-    def _():
-        out_ref[:, :] = out_ref[:, :] + part
+    out_ref[:, :] = out_ref[:, :] + part
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -149,8 +157,11 @@ def mask_packed_w_t(Pw, seed, cell_ids, *, gene_block: int,
     ids2 = jnp.asarray(cell_ids, jnp.int32).reshape(1, block)
     Pw = Pw.astype(jnp.bfloat16).reshape(n_gb, gene_block, np_pad)
     # double-buffered bf16 Pw blocks + f32 out + mask tile + hash temps
+    # (u64-pair xorshift chains keep ~a dozen (gene_block, bc) u32 live) +
+    # generous slack — Mosaic's stack accounting runs above the analytic
+    # sum (measured 33.9M vs a 32.5M budget at the 524k geometry)
     vmem = min(2 * 2 * gene_block * np_pad + 4 * np_pad * bc
-               + 24 * gene_block * bc + (8 << 20), 128 << 20)
+               + 64 * gene_block * bc + (16 << 20), 128 << 20)
     return pl.pallas_call(
         functools.partial(_mpw_kernel, gene_block=gene_block,
                           inv_density=inv_density, cells_true=cells_true,
@@ -175,21 +186,22 @@ def mask_packed_w_t(Pw, seed, cell_ids, *, gene_block: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "gene_block", "genes_pad", "inv_density", "cells_true", "genes_true",
-    "interpret"))
-def mask_packed_h_t(Ph, seed, cell_ids, *, gene_block: int, genes_pad: int,
+    "gene_block", "inv_density", "cells_true", "genes_true", "interpret"))
+def mask_packed_h_t(Ph, seed, cell_ids, acc, *, gene_block: int,
                     inv_density: int, cells_true: int, genes_true: int,
                     interpret: bool = False):
-    """Pk_t (np_pad, genes_pad) f32 = (mask^T @ Ph)^T, mask hashed
-    in-kernel. Ph: (block, np_pad) with np_pad % 128 == 0."""
+    """acc (np_pad, genes_pad) f32 += (mask^T @ Ph)^T, mask hashed
+    in-kernel; ``acc`` is donated (input_output_aliases) and updated in
+    place. Ph: (block, np_pad) with np_pad % 128 == 0."""
     block, np_pad = Ph.shape
+    genes_pad = acc.shape[1]
     bc = _sub_block(block)
     n_gb = genes_pad // gene_block
     seed2 = jnp.asarray(seed, jnp.uint32).reshape(1, 2)
     ids2 = jnp.asarray(cell_ids, jnp.int32).reshape(1, block)
     Ph = Ph.astype(jnp.bfloat16)
-    vmem = min(2 * 2 * bc * np_pad + 4 * np_pad * gene_block
-               + 24 * gene_block * bc + (8 << 20), 128 << 20)
+    vmem = min(2 * 2 * bc * np_pad + 2 * 4 * np_pad * gene_block
+               + 64 * gene_block * bc + (16 << 20), 128 << 20)
     return pl.pallas_call(
         functools.partial(_mph_kernel, gene_block=gene_block,
                           inv_density=inv_density, cells_true=cells_true,
@@ -202,12 +214,15 @@ def mask_packed_h_t(Ph, seed, cell_ids, *, gene_block: int, genes_pad: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, np_pad), lambda g, i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, gene_block), lambda g, i: (0, g),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((np_pad, gene_block), lambda g, i: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_pad, genes_pad), jnp.float32),
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem),
         interpret=interpret,
-    )(seed2, ids2, Ph)
+    )(seed2, ids2, Ph, acc)

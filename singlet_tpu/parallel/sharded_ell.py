@@ -875,9 +875,11 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids)
             Ph_b = packed_outer_products(Hb, iu_pad)     # (blk, np_pad)
             if use_maskgram:
-                Pk_t = Pk_t + mask_packed_h_t(
-                    Ph_b, seed, ids, gene_block=gene_block,
-                    genes_pad=genes_pad, inv_density=inv_density,
+                # in-place accumulation: the kernel adds into the donated
+                # carry (335 MB at the 524k config) — no temp + XLA add
+                Pk_t = mask_packed_h_t(
+                    Ph_b, seed, ids, Pk_t, gene_block=gene_block,
+                    inv_density=inv_density,
                     cells_true=cells_true, genes_true=genes_true)
             else:
                 Pk_t = Pk_t + mask_dot_t(Ph_b, m, 0)

@@ -61,14 +61,16 @@ def test_mask_packed_h_t_matches_dense(rng):
     ids = jnp.arange(CELLS, dtype=jnp.int32)
     cells_true, genes_true = CELLS - 5, GENES - 3
 
-    got = mask_packed_h_t(Ph, seed, ids, gene_block=GENE_BLOCK,
-                          genes_pad=GENES, inv_density=INV_DENSITY,
+    acc0 = jnp.full((np_pad, GENES), 0.25, jnp.float32)
+    got = mask_packed_h_t(Ph, seed, ids, acc0, gene_block=GENE_BLOCK,
+                          inv_density=INV_DENSITY,
                           cells_true=cells_true, genes_true=genes_true,
                           interpret=True)
     m = _mask(seed, ids, cells_true, genes_true).astype(jnp.float32)
-    want = jnp.dot(Ph.astype(jnp.bfloat16).T,
-                                 m.astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32)
+    # the kernel accumulates INTO the donated carry
+    want = 0.25 + jnp.dot(Ph.astype(jnp.bfloat16).T,
+                          m.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     assert got.shape == (np_pad, GENES)
     npairs = iu[0].shape[0]
     np.testing.assert_allclose(np.asarray(got[:npairs]),
