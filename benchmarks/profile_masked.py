@@ -320,10 +320,64 @@ def kernels():
             float(f(*a))
         return round((time.perf_counter() - t0) / n, 3)
 
+    # --- round-4 bits kernels: fit-invariant packed mask + int8 MXU ---
+    from singlet_tpu.ops.maskbits import pack_mask_words
+    from singlet_tpu.ops.pallas_maskgram import (mask_packed_h_t_bits,
+                                                 mask_packed_w_t_bits,
+                                                 quantize_pairs)
+
+    @jax.jit
+    def pack_bits(seed):
+        ids = jnp.arange(cells, dtype=jnp.int32)
+        w = pack_mask_words(seed, ids, genes_pad=genes,
+                            gene_block=gene_block, inv_density=inv_density,
+                            cells_true=cells, genes_true=genes,
+                            cell_block=cell_block)
+        return w, w.T
+
+    words, words_t = jax.jit(pack_bits)(seed)
+    float(jnp.sum(words[0, :8].astype(jnp.float32)))
+    Pw_q, Pw_s = quantize_pairs(
+        packed_outer_products(jax.random.uniform(key, (genes, k)), iu_pad),
+        axis=0)
+
+    @jax.jit
+    def mpw_bits(words_t, Pw_q, Pw_s):
+        def blk(acc, bi):
+            wt = jax.lax.dynamic_slice_in_dim(
+                words_t, bi * cell_block + acc.astype(jnp.int32) % 1,
+                cell_block, 1)
+            pt = mask_packed_w_t_bits(Pw_q, Pw_s, wt,
+                                      gene_block=gene_block)
+            return acc + pt[0, 0] + pt[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def mph_bits(words, H):
+        def blk(carry, bi):
+            acc, pk_t = carry
+            Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
+                                              cell_block, 0)
+            Ph = packed_outer_products(Hb + acc * 1e-30, iu_pad)
+            Ph_q, Ph_s = quantize_pairs(Ph, axis=0)
+            w_blk = jax.lax.dynamic_slice_in_dim(
+                words, bi * cell_block, cell_block, 0)
+            pk_t = mask_packed_h_t_bits(Ph_q, Ph_s, w_blk, pk_t,
+                                        gene_block=gene_block)
+            return (acc + pk_t[0, 0] + pk_t[-1, -1], pk_t), None
+        carry0 = (jnp.zeros(()), jnp.zeros((np_pad, genes), jnp.float32))
+        (acc, _), _ = jax.lax.scan(
+            lambda c, bi: blk(c, bi), carry0, jnp.arange(n_blocks))
+        return acc
+
     res = {"metric": "masked_kernels_per_pass", "cells": cells, "k": k}
     for name, fn, fa in [
         ("mask_packed_w_t_s", mpw, (seed, Pw)),
         ("mask_packed_h_t_s", mph, (seed, H)),
+        ("pack_bits_once_s", lambda s: jnp.sum(
+            pack_bits(s)[0][:, ::512].astype(jnp.float32)), (seed,)),
+        ("mask_packed_w_t_bits_s", mpw_bits, (words_t, Pw_q, Pw_s)),
+        ("mask_packed_h_t_bits_s", mph_bits, (words, H)),
         ("bell_spmm_masked_s", spmm_b_masked, (seed, b_li, b_val, W)),
         ("bell_spmm_t_masked_s", spmm_bw_masked, (seed, b_li, b_val, H)),
         ("nnls_packed_t_cap32_s", nnls_packed_t32,

@@ -29,11 +29,28 @@ pbmc3k CV-curve guard licenses (benchmarks/precision_invariance.py).
 ``npairs`` must be padded to a lane multiple (128) by the caller; the pad
 columns of Pw/Ph may hold garbage — pad rows of the outputs are never read
 (the unpack's gather indexes only true pairs).
+
+Round-4 addendum — BIT-PACKED masks + int8 MXU (the default): the mask is
+fit-invariant (one seed per fit), so the ``*_bits`` kernels below read it
+from the once-per-fit packed bitplane words (ops/maskbits.py) instead of
+re-hashing 64-bit xorshift chains per element per iteration — unpacking a
+(gene_block) tile is ONE dynamic-scalar shift + AND. And because the mask
+is exactly representable in int8, the products run on the MXU's int8 path
+(~2x the bf16 rate on v5e): the packed outer products are quantized
+per-PAIR (symmetric max scaling, the pair axis is the output row axis so
+dequantization is a row-broadcast multiply), accumulation is EXACT int32
+(max genes * 127 << 2^31), and the only rounding is the one int8
+quantization of the operand — comparable per-element precision to the
+bf16 path (2^-8 vs 2^-9 relative), guarded by the same CV-curve
+invariance benchmark. ``SINGLET_TPU_MASKGRAM`` selects int8 (default) /
+bf16 (bits, bf16 operand) / hash (round-4.0 in-kernel hash kernels) /
+xla (dense-mask XLA fallback).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +58,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from singlet_tpu.ops.rngmask import _J_MIX, _XJ_MIX, _xs, hash_i, u64_add
+
+MASKGRAM_MODE = os.environ.get("SINGLET_TPU_MASKGRAM", "int8").lower()
 
 # The packed-product operand (np_pad wide, ~165 MB bf16 at k=100/16k genes)
 # is re-read once per cell sub-block: bc sets the re-read factor, so it is
@@ -125,20 +144,29 @@ def _mph_kernel(seed_ref, ids_ref, Ph_ref, acc_ref, out_ref, *,
                 genes_true: int):
     """out[p, g*GB:(g+1)*GB] = acc[...] + sum_c mask(c, g) Ph[c, p].
 
-    ``acc_ref`` is ALIASED to the output (input_output_aliases), so the
-    revisited output block already holds the running accumulator on first
-    visit and the kernel just adds — the caller's (np_pad, genes_pad)
-    carry is updated in place with no separate temp array (at the 524k
-    config the carry is 335 MB; a kernel-temp + XLA add would move it
-    twice more per pass)."""
+    ``acc_ref`` is ALIASED to the output (input_output_aliases) so the
+    caller's (np_pad, genes_pad) carry is updated in place with no
+    separate temp array (at the 524k config the carry is 335 MB; a
+    kernel-temp + XLA add would move it twice more per pass). The carry
+    must be READ from the input ref on the first cell sub-block — a
+    revisited output block's VMEM window is NOT initialized from the
+    aliased HBM content on TPU hardware (interpret mode initializes it,
+    which is exactly the trap); its block index only changes with ``g``,
+    so the input DMA runs once per gene block, not once per grid step."""
     g = pl.program_id(0)
     i = pl.program_id(1)
-    del acc_ref  # aliased: its content IS out_ref's initial content
     m = _mask_tile(seed_ref, ids_ref[0, :], g, gene_block, inv_density,
                    cells_true, genes_true, genes_on_rows=False)  # (bc, GB)
     part = jax.lax.dot_general(Ph_ref[:, :], m, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    out_ref[:, :] = out_ref[:, :] + part
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = acc_ref[:, :] + part
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -226,3 +254,171 @@ def mask_packed_h_t(Ph, seed, cell_ids, acc, *, gene_block: int,
             vmem_limit_bytes=vmem),
         interpret=interpret,
     )(seed2, ids2, Ph, acc)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed-mask kernels (round 4 default): the mask arrives as bitplane
+# words (ops/maskbits.py layout) — no hashing, one shift+AND per tile — and
+# the matmul runs int8 (per-pair-scaled, exact int32 accumulation) or bf16.
+# ---------------------------------------------------------------------------
+
+
+def quantize_pairs(P: jnp.ndarray, axis: int = 0):
+    """Symmetric per-PAIR int8 quantization of a packed-outer-product
+    operand. ``axis`` is the reduction (gene/cell) axis; the OTHER axis is
+    the pair axis whose per-column max sets the scale. Returns (q int8,
+    scales f32 (np_pad,)). Exact for zero columns (scale floor)."""
+    s = jnp.max(jnp.abs(P), axis=axis) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    sb = s[None, :] if axis == 0 else s[:, None]
+    q = jnp.clip(jnp.round(P / sb), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _bits_tile(w_ref, g):
+    """Dense 0/1 int32 tile of gene block ``g`` from its bitplane word tile
+    (the block spec already selected word group g // 32). int32 because
+    Mosaic has no uint32->float32 cast; the 0/1 payload is identical."""
+    s = (g % 32).astype(jnp.uint32) if hasattr(g, "astype") else g % 32
+    return ((w_ref[:, :] >> s) & jnp.uint32(1)).astype(jnp.int32)
+
+
+def _mpw_bits_kernel(wt_ref, P_ref, s_ref, out_ref, acc_ref, *,
+                     n_gb: int, int8_path: bool):
+    """packed_t[p, c] = sum_g mask(c, g) P[g, p]; int32 (int8 path) or f32
+    (bf16 path) accumulation in scratch, dequantized row-scaled write on
+    the last gene block."""
+    g = pl.program_id(1)
+    m32 = _bits_tile(wt_ref, g)                       # (gene_block, bc)
+    if int8_path:
+        m = m32.astype(jnp.float32).astype(jnp.int8)
+        part = jax.lax.dot_general(P_ref[0], m, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+    else:
+        m = m32.astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(P_ref[0], m, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(g == 0)
+    def _():
+        acc_ref[:, :] = part
+
+    @pl.when(g > 0)
+    def _():
+        acc_ref[:, :] = acc_ref[:, :] + part
+
+    @pl.when(g == n_gb - 1)
+    def _():
+        if int8_path:
+            out_ref[:, :] = acc_ref[:, :].astype(jnp.float32) * s_ref[:, :]
+        else:
+            out_ref[:, :] = acc_ref[:, :]
+
+
+def _mph_bits_kernel(w_ref, P_ref, s_ref, acc_in_ref, out_ref, *,
+                     int8_path: bool):
+    """out[p, g_block] = acc[...] + dequant(sum_c mask(c, g) P[c, p]);
+    ``acc_in_ref`` aliases the output (in-place carry update) and is READ
+    on the first cell sub-block — see :func:`_mph_kernel` on why the
+    aliased content must come from the input ref, not the output window."""
+    g = pl.program_id(0)
+    i = pl.program_id(1)
+    m32 = _bits_tile(w_ref, g)                        # (bc, gene_block)
+    if int8_path:
+        m = m32.astype(jnp.float32).astype(jnp.int8)
+        part = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        d = part.astype(jnp.float32) * s_ref[:, :]
+    else:
+        m = m32.astype(jnp.float32).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = acc_in_ref[:, :] + d
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + d
+
+
+@functools.partial(jax.jit, static_argnames=("gene_block", "interpret"))
+def mask_packed_w_t_bits(P_op, scales, words_t, *, gene_block: int,
+                         interpret: bool = False):
+    """packed_t (np_pad, block) f32 = (mask @ P)^T with the mask read from
+    bitplane words. P_op: (genes_pad, np_pad) int8 (with ``scales``
+    (np_pad,) f32 from :func:`quantize_pairs`) or bf16 (``scales`` may be
+    a dummy); words_t: (n_t * gene_block, block) u32 — the TRANSPOSED
+    packed layout, sliced to this cell block by the caller."""
+    genes_pad, np_pad = P_op.shape
+    block = words_t.shape[1]
+    int8_path = P_op.dtype == jnp.int8
+    bc = _sub_block(block)
+    n_gb = genes_pad // gene_block
+    P_op = P_op.reshape(n_gb, gene_block, np_pad)
+    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
+    esz = 1 if int8_path else 2
+    vmem = min(2 * esz * gene_block * np_pad + 2 * 4 * np_pad * bc
+               + 2 * 4 * gene_block * bc + (16 << 20), 128 << 20)
+    return pl.pallas_call(
+        functools.partial(_mpw_bits_kernel, n_gb=n_gb, int8_path=int8_path),
+        grid=(block // bc, n_gb),
+        in_specs=[
+            pl.BlockSpec((gene_block, bc), lambda i, g: (g // 32, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gene_block, np_pad), lambda i, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, 1), lambda i, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((np_pad, bc), lambda i, g: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_pad, block), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(
+            (np_pad, bc), jnp.int32 if int8_path else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(words_t, P_op, scales2)
+
+
+@functools.partial(jax.jit, static_argnames=("gene_block", "interpret"))
+def mask_packed_h_t_bits(P_op, scales, words, acc, *, gene_block: int,
+                         interpret: bool = False):
+    """acc (np_pad, genes_pad) f32 += dequant((mask^T @ P)^T), mask from
+    bitplane words; ``acc`` donated and updated in place. P_op: (block,
+    np_pad) int8 (+ ``scales``) or bf16; words: (block, n_t * gene_block)
+    u32 — the natural packed layout, sliced to this cell block."""
+    block, np_pad = P_op.shape
+    genes_pad = acc.shape[1]
+    int8_path = P_op.dtype == jnp.int8
+    bc = _sub_block(block)
+    n_gb = genes_pad // gene_block
+    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
+    esz = 1 if int8_path else 2
+    vmem = min(2 * esz * bc * np_pad + 2 * 4 * np_pad * gene_block
+               + 2 * 4 * gene_block * bc + (16 << 20), 128 << 20)
+    return pl.pallas_call(
+        functools.partial(_mph_bits_kernel, int8_path=int8_path),
+        grid=(n_gb, block // bc),
+        in_specs=[
+            pl.BlockSpec((bc, gene_block), lambda g, i: (i, g // 32),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, np_pad), lambda g, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, 1), lambda g, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, gene_block), lambda g, i: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((np_pad, gene_block), lambda g, i: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_pad, genes_pad), jnp.float32),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(words, P_op, scales2, acc)

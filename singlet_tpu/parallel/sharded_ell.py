@@ -804,8 +804,34 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         f = max(d for d in range(1, f_cap + 1) if n_base % d == 0)
         return f * cell_block
 
+    def _use_bits() -> bool:
+        """Whether the fused fit programs should pack the fit-invariant CV
+        mask once (maskbits.py) and run the hash-free product kernels."""
+        if not (use_bell_kernels and
+                MASK_MM_PRECISION == jax.lax.Precision.DEFAULT):
+            return False
+        from singlet_tpu.ops.pallas_maskgram import MASKGRAM_MODE
+        return MASKGRAM_MODE in ("int8", "bf16") or MASKGRAM_MODE not in (
+            "hash", "xla")
+
+    def _prepare_bits(seed):
+        """Pack this device's local-cell CV mask into bitplane words, both
+        orientations — ONCE per fit program (the mask is fit-invariant:
+        one seed per fit, reference:src/singlet.cpp:1091-1129 draws from
+        the same seed every iteration)."""
+        from singlet_tpu.ops.maskbits import pack_mask_words
+
+        dev = jax.lax.axis_index(AXIS)
+        ids = _local_cell_ids(dev)
+        words = pack_mask_words(
+            seed, ids, genes_pad=genes_pad, gene_block=gene_block,
+            inv_density=inv_density, cells_true=cells_true,
+            genes_true=genes_true, cell_block=cell_block)
+        return words, words.T
+
     def _masked(b_li, b_val, ne_loc, gene_ne, W, H_loc,
-                seed, L1_h, L1_w, L2_h, L2_w, k_true, sweep_cap=None):
+                seed, L1_h, L1_w, L2_h, L2_w, k_true, sweep_cap=None,
+                bits=None):
         k = W.shape[1]
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
@@ -816,16 +842,34 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         iu_pad = pad_pairs(iu, np_pad)
         n_coord = jnp.asarray(k_true, jnp.float32)
         mblock = _masked_block(k, np_pad)
-        # The fused in-kernel-mask product kernels implement exactly the
-        # MASK_MM_PRECISION=DEFAULT arithmetic (bf16 operands, f32
-        # accumulation); the =highest override keeps the XLA dense-mask
-        # path so reference-exact products stay reachable.
-        use_maskgram = use_bell_kernels and \
-            MASK_MM_PRECISION == jax.lax.Precision.DEFAULT
+        # Product-path selection: the fused kernels implement the
+        # MASK_MM_PRECISION=DEFAULT arithmetic (8-9-bit-mantissa operands,
+        # exact-or-f32 accumulation); =highest keeps the XLA dense-mask
+        # path so reference-exact products stay reachable. ``bits`` (the
+        # once-per-fit packed mask of maskbits.py, from the fit-loop
+        # builders) selects the hash-free kernels; single-step callers
+        # pass none and get the in-kernel-hash kernels.
+        mode = "xla"
+        if use_bell_kernels and MASK_MM_PRECISION == jax.lax.Precision.DEFAULT:
+            from singlet_tpu.ops.pallas_maskgram import MASKGRAM_MODE
+            mode = MASKGRAM_MODE if MASKGRAM_MODE in (
+                "int8", "bf16", "hash", "xla") else "int8"
+            if bits is None and mode in ("int8", "bf16"):
+                mode = "hash"
+        use_maskgram = mode != "xla"
+        words = words_t = None
+        if mode in ("int8", "bf16"):
+            words, words_t = bits
 
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         Pw = packed_outer_products(W, iu_pad)      # (genes_pad, np_pad)
-        Pw_op = Pw.astype(jnp.bfloat16) if use_maskgram else Pw
+        Pw_op, Pw_s = Pw, None
+        if mode == "int8":
+            from singlet_tpu.ops.pallas_maskgram import quantize_pairs
+            Pw_op, Pw_s = quantize_pairs(Pw, axis=0)
+        elif mode in ("bf16", "hash"):
+            Pw_op = Pw.astype(jnp.bfloat16)
+            Pw_s = jnp.ones((np_pad,), jnp.float32)
 
         def _mask_of(ids):
             m = mask_block(seed, ids, gene_ids, inv_density)
@@ -855,9 +899,16 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             li = _slice_planes(b_li, start, mblock)
             lv = _slice_planes(b_val, start, mblock)
             B = _spmm_b(li, lv, W, seed=seed, ids=ids)
-            if use_maskgram:
-                from singlet_tpu.ops.pallas_maskgram import (
-                    mask_packed_h_t, mask_packed_w_t)
+            if mode in ("int8", "bf16"):
+                from singlet_tpu.ops.pallas_maskgram import \
+                    mask_packed_w_t_bits
+
+                wt_blk = jax.lax.dynamic_slice_in_dim(
+                    words_t, start, mblock, 1)
+                packed_t = mask_packed_w_t_bits(
+                    Pw_op, Pw_s, wt_blk, gene_block=gene_block)
+            elif mode == "hash":
+                from singlet_tpu.ops.pallas_maskgram import mask_packed_w_t
 
                 packed_t = mask_packed_w_t(
                     Pw_op, seed, ids, gene_block=gene_block,
@@ -874,9 +925,23 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                                      sweep_cap=sweep_cap)
             Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids)
             Ph_b = packed_outer_products(Hb, iu_pad)     # (blk, np_pad)
-            if use_maskgram:
+            if mode in ("int8", "bf16"):
+                from singlet_tpu.ops.pallas_maskgram import (
+                    mask_packed_h_t_bits, quantize_pairs)
+
+                if mode == "int8":
+                    Ph_op, Ph_s = quantize_pairs(Ph_b, axis=0)
+                else:
+                    Ph_op = Ph_b.astype(jnp.bfloat16)
+                    Ph_s = jnp.ones((np_pad,), jnp.float32)
+                w_blk = _slice2(words, start, mblock)
                 # in-place accumulation: the kernel adds into the donated
                 # carry (335 MB at the 524k config) — no temp + XLA add
+                Pk_t = mask_packed_h_t_bits(
+                    Ph_op, Ph_s, w_blk, Pk_t, gene_block=gene_block)
+            elif mode == "hash":
+                from singlet_tpu.ops.pallas_maskgram import mask_packed_h_t
+
                 Pk_t = mask_packed_h_t(
                     Ph_b, seed, ids, Pk_t, gene_block=gene_block,
                     inv_density=inv_density,
@@ -931,29 +996,38 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         d = jax.lax.psum(jnp.sum(H_new, axis=0), AXIS) + 1e-15
         return H_new / d[None, :], d
 
-    def _mse(b_li, b_val, W, d, H_loc, seed):
+    def _mse(b_li, b_val, W, d, H_loc, seed, bits=None):
         dev = jax.lax.axis_index(AXIS)
         cell_ids_local = _local_cell_ids(dev)
         gene_ids = jnp.arange(genes_pad)
         Wd = W * d[None, :]
+        words = bits[0] if bits is not None else None
 
         def blk(acc, bi):
             start = bi * cell_block
-            ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
-                                               cell_block)
-            m = mask_block(seed, ids, gene_ids, inv_density)
-            m = m & (ids < cells_true)[:, None] & \
-                (gene_ids < genes_true)[None, :]
+            if words is None:
+                ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
+                                                   cell_block)
+                m = mask_block(seed, ids, gene_ids, inv_density)
+                m = m & (ids < cells_true)[:, None] & \
+                    (gene_ids < genes_true)[None, :]
+            else:
+                from singlet_tpu.ops.maskbits import unpack_gene_block
+
+                w_blk = _slice2(words, start, cell_block)
             li = _slice_planes(b_li, start, cell_block)
             lv = _slice_planes(b_val, start, cell_block)
             Hb = _slice2(H_loc, start, cell_block)
             s = jnp.zeros((cell_block,), W.dtype)
+            n = jnp.zeros((cell_block,), jnp.int32)
             for gb, tile in _gb_tiles(li, lv):
                 gsl = slice(gb * gene_block, (gb + 1) * gene_block)
+                m_gb = (unpack_gene_block(w_blk, gb, gene_block)
+                        if words is not None else m[:, gsl])
                 pred = jnp.dot(Hb, Wd[gsl].T, precision=MM_PRECISION)
                 diff2 = jnp.square(pred - tile)
-                s = s + jnp.sum(jnp.where(m[:, gsl], diff2, 0.0), axis=1)
-            n = jnp.sum(m, axis=1)
+                s = s + jnp.sum(jnp.where(m_gb, diff2, 0.0), axis=1)
+                n = n + jnp.sum(m_gb, axis=1)
             return acc + jnp.sum(jnp.where(n > 0, s / jnp.maximum(n, 1),
                                            0.0)), None
 
@@ -961,7 +1035,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                               jnp.arange(cells_local // cell_block))
         return jax.lax.psum(acc, AXIS) / cells_true
 
-    return dict(plain=_plain, masked=_masked, mse=_mse, project=_project)
+    return dict(plain=_plain, masked=_masked, mse=_mse, project=_project,
+                use_bits=_use_bits, prepare_bits=_prepare_bits)
 
 
 def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
@@ -989,6 +1064,11 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
         args = extra[:-4]
         tol_target, n_steps, tol0, exact0 = extra[-4:]
         k = W.shape[1]
+        # the CV mask is fit-invariant: pack it ONCE per program, outside
+        # the iteration loop (args[0] is the seed in the masked case)
+        step_kw = {}
+        if masked and fns["use_bits"]():
+            step_kw["bits"] = fns["prepare_bits"](args[0])
 
         def cond(st):
             it, _, _, _, tolv, _, _ = st
@@ -999,7 +1079,7 @@ def build_sharded_ell_fit_loop(data: ShardedEllData, inv_density: int,
             cap, exact = sweep_cap_update(exact, tolv, tol_target,
                                           masked=masked)
             W, H, d, tolv = step(a_idx, a_val, ne_loc, gene_ne, W, H, *args,
-                                 sweep_cap=cap)
+                                 sweep_cap=cap, **step_kw)
             tols = tols.at[it].set(tolv)
             return (it + 1, W, H, d, tolv, exact, tols)
 
@@ -1039,6 +1119,9 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
               L1, L2, k_true, tol_target, overfit_threshold):
         k = W.shape[1]
         nanf = jnp.float32(jnp.nan)
+        # fit-invariant CV mask: packed once, reused by every masked step
+        # AND every traced test-MSE evaluation
+        bits = fns["prepare_bits"](seed) if fns["use_bits"]() else None
 
         def cond(st):
             it, _, _, _, tolv, stopped = st[:6]
@@ -1051,12 +1134,12 @@ def build_sharded_ell_ard_loop(data: ShardedEllData, inv_density: int,
                                           masked=True)
             W, H, d, tolv = masked(a_idx, a_val, ne_loc,
                                    gene_ne, W, H, seed, L1, L1, L2, L2,
-                                   k_true, sweep_cap=cap)
+                                   k_true, sweep_cap=cap, bits=bits)
             tols = tols.at[it].set(tolv)
 
             def with_trace(args):
                 min_err, n_tr, tmse, t_iters, scores, stopped = args
-                err = mse(a_idx, a_val, W, d, H, seed)
+                err = mse(a_idx, a_val, W, d, H, seed, bits=bits)
                 min_err = jnp.minimum(min_err, err)
                 score = (err - min_err) / (err + min_err)
                 tmse = tmse.at[n_tr].set(err)

@@ -1,0 +1,152 @@
+"""Bit-packed fit-invariant CV masks (ops/maskbits.py) and the hash-free
+bits product kernels (ops/pallas_maskgram.py *_bits, interpret mode):
+
+* pack -> unpack must reproduce ``mask_block`` bit-for-bit including the
+  validity clamp (padded cells/genes never masked);
+* the bits kernels must match the XLA dense-mask product computed with the
+  SAME operand rounding (int8: dequantized-operand f32 reference, exact
+  because int32 accumulation never rounds; bf16: bf16-operand reference).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from singlet_tpu.ops.linalg import packed_outer_products, pad_pairs, \
+    triu_pairs
+from singlet_tpu.ops.maskbits import (pack_mask_words, unpack_all,
+                                      unpack_gene_block)
+from singlet_tpu.ops.pallas_maskgram import (mask_packed_h_t_bits,
+                                             mask_packed_w_t_bits,
+                                             quantize_pairs)
+from singlet_tpu.ops.rngmask import mask_block, seed_pair
+
+GENES, GENE_BLOCK, CELLS, K = 96, 32, 48, 5
+INV_DENSITY = 5
+
+
+def _mask(seed, ids, cells_true, genes_true):
+    m = mask_block(seed, ids, jnp.arange(GENES), INV_DENSITY)
+    return (m & (ids < cells_true)[:, None]
+            & (jnp.arange(GENES) < genes_true)[None, :])
+
+
+@pytest.mark.parametrize("clamped", [False, True])
+def test_pack_unpack_roundtrip(clamped):
+    cells_true = CELLS - 10 if clamped else CELLS
+    genes_true = GENES - 7 if clamped else GENES
+    seed = seed_pair(13)
+    ids = jnp.arange(CELLS, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=GENES,
+                            gene_block=GENE_BLOCK, inv_density=INV_DENSITY,
+                            cells_true=cells_true, genes_true=genes_true,
+                            cell_block=16)
+    n_gb = GENES // GENE_BLOCK
+    assert words.shape == (CELLS, -(-n_gb // 32) * GENE_BLOCK)
+    want = np.asarray(_mask(seed, ids, cells_true, genes_true))
+    got = np.asarray(unpack_all(words, GENES, GENE_BLOCK))
+    np.testing.assert_array_equal(got, want)
+    # per-block unpack agrees with the full unpack
+    for gb in range(n_gb):
+        blk = np.asarray(unpack_gene_block(words, gb, GENE_BLOCK))
+        np.testing.assert_array_equal(
+            blk, want[:, gb * GENE_BLOCK:(gb + 1) * GENE_BLOCK])
+
+
+def test_pack_many_gene_blocks_multi_group():
+    """More than 32 gene blocks forces a second word group."""
+    genes, gene_block = 8 * 64, 8          # 64 blocks -> n_t = 2
+    seed = seed_pair(7)
+    ids = jnp.arange(16, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=genes, gene_block=gene_block,
+                            inv_density=3, cells_true=16, genes_true=genes,
+                            cell_block=16)
+    assert words.shape == (16, 2 * gene_block)
+    m = mask_block(seed, ids, jnp.arange(genes), 3)
+    np.testing.assert_array_equal(np.asarray(unpack_all(words, genes,
+                                                        gene_block)),
+                                  np.asarray(m))
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bf16"])
+def test_mask_packed_w_t_bits_matches_dense(rng, dtype):
+    cells_true, genes_true = CELLS - 10, GENES - 7
+    k = K
+    iu = triu_pairs(k)
+    np_pad = 128
+    iu_pad = pad_pairs(iu, np_pad)
+    W = jnp.asarray(rng.random((GENES, k)).astype(np.float32))
+    Pw = packed_outer_products(W, iu_pad)
+    seed = seed_pair(13)
+    ids = jnp.arange(CELLS, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=GENES,
+                            gene_block=GENE_BLOCK, inv_density=INV_DENSITY,
+                            cells_true=cells_true, genes_true=genes_true)
+    m = _mask(seed, ids, cells_true, genes_true).astype(jnp.float32)
+    if dtype == "int8":
+        q, s = quantize_pairs(Pw, axis=0)
+        got = mask_packed_w_t_bits(q, s, words.T, gene_block=GENE_BLOCK,
+                                   interpret=True)
+        # int32 accumulation is exact: the only rounding is the operand
+        # quantization, so the dequantized-operand f32 product is the
+        # bit-level reference
+        want = jnp.dot(m, q.astype(jnp.float32) * s[None, :]).T
+        tol = dict(rtol=1e-6, atol=1e-6)
+    else:
+        ones = jnp.ones((np_pad,), jnp.float32)
+        got = mask_packed_w_t_bits(Pw.astype(jnp.bfloat16), ones, words.T,
+                                   gene_block=GENE_BLOCK, interpret=True)
+        want = jnp.dot(m.astype(jnp.bfloat16), Pw.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32).T
+        tol = dict(rtol=1e-5, atol=1e-5)
+    npairs = iu[0].shape[0]
+    assert got.shape == (np_pad, CELLS)
+    np.testing.assert_allclose(np.asarray(got[:npairs]),
+                               np.asarray(want[:npairs]), **tol)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bf16"])
+def test_mask_packed_h_t_bits_matches_dense(rng, dtype):
+    cells_true, genes_true = CELLS - 5, GENES - 3
+    k = K
+    iu = triu_pairs(k)
+    np_pad = 128
+    iu_pad = pad_pairs(iu, np_pad)
+    H = jnp.asarray(rng.random((CELLS, k)).astype(np.float32))
+    Ph = packed_outer_products(H, iu_pad)
+    seed = seed_pair(29)
+    ids = jnp.arange(CELLS, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=GENES,
+                            gene_block=GENE_BLOCK, inv_density=INV_DENSITY,
+                            cells_true=cells_true, genes_true=genes_true)
+    m = _mask(seed, ids, cells_true, genes_true).astype(jnp.float32)
+    acc0 = jnp.full((np_pad, GENES), 0.25, jnp.float32)
+    if dtype == "int8":
+        q, s = quantize_pairs(Ph, axis=0)
+        got = mask_packed_h_t_bits(q, s, words, acc0, gene_block=GENE_BLOCK,
+                                   interpret=True)
+        want = 0.25 + jnp.dot((q.astype(jnp.float32) * s[None, :]).T, m)
+        tol = dict(rtol=1e-6, atol=1e-6)
+    else:
+        ones = jnp.ones((np_pad,), jnp.float32)
+        got = mask_packed_h_t_bits(Ph.astype(jnp.bfloat16), ones, words,
+                                   acc0, gene_block=GENE_BLOCK,
+                                   interpret=True)
+        want = 0.25 + jnp.dot(Ph.astype(jnp.bfloat16).T,
+                              m.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        tol = dict(rtol=1e-5, atol=1e-5)
+    npairs = iu[0].shape[0]
+    assert got.shape == (np_pad, GENES)
+    np.testing.assert_allclose(np.asarray(got[:npairs]),
+                               np.asarray(want[:npairs]), **tol)
+
+
+def test_quantize_pairs_precision(rng):
+    """Per-pair int8 quantization error is bounded by scale/2 per element
+    (comparable to the bf16 operand path's 2^-9 relative rounding)."""
+    P = jnp.asarray(rng.random((256, 128)).astype(np.float32))
+    q, s = quantize_pairs(P, axis=0)
+    deq = q.astype(jnp.float32) * s[None, :]
+    err = np.abs(np.asarray(deq - P))
+    assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-12).all()
