@@ -147,14 +147,16 @@ def main():
     nnls_flops = (cells * sweeps_h + genes * sweeps_w) * 2.0 * k * k
     flops_per_iter = matmul_flops + nnls_flops
     tflops = flops_per_iter * ips / 1e12
-    # TPU v5e (v5 lite) peak: 394 TFLOP/s bf16; f32 at Precision.HIGHEST
-    # runs ~6 bf16 passes per product -> ~66 TFLOP/s effective f32 ceiling.
+    # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 (394 TOP/s is the int8
+    # figure); f32 at Precision.HIGHEST runs ~6 bf16 passes per product
+    # -> ~33 TFLOP/s effective f32 ceiling. (Rounds 1-3 used 394 as the
+    # bf16 peak — those MFU percentages understate by 2x.)
     # NOTE on interpretation: the NNLS sweep chain is a sequential VPU
     # recurrence (k dependent coordinate steps per sweep), not MXU work —
     # low "MFU" here reflects an algorithm that is latency-bound by design
     # (the reference's CD solver), not wasted matmul capacity.
-    mfu_bf16 = tflops / 394.0
-    mfu_f32_highest = tflops / (394.0 / 6.0)
+    mfu_bf16 = tflops / 197.0
+    mfu_f32_highest = tflops / (197.0 / 6.0)
 
     out = {
         "metric": "als_nmf_cells_per_s_k50",

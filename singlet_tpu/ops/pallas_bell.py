@@ -203,6 +203,84 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
     )(seed2, ids2, b_li, b_val, W.reshape(n_gb, gene_block, k))
 
 
+def _mse_kernel(li_ref, lv_ref, wt_ref, Wd_ref, H_ref, out_ref, tile_ref,
+                *, gene_block: int, precision):
+    """Held-out test-MSE partials of one (cell sub-block, gene block)
+    tile, fully fused: densify the bELL tile in VMEM, predict
+    ``Wd_blk @ Hb^T`` on the MXU, square the residual, and reduce at the
+    bit-packed mask positions — neither the dense tile, the prediction,
+    nor the mask ever leaves VMEM (the XLA formulation round-trips all
+    three through HBM, ~0.5 s/pass at the 524k config). Accumulates
+    s = sum(mask * diff^2) in out row 0 and n = sum(mask) in row 1, per
+    cell, over the gene blocks (fastest grid dim)."""
+    g = pl.program_id(1)
+    _build_tile_t(tile_ref, li_ref[...], lv_ref[...], gene_block)
+    s_sh = (g % 32).astype(jnp.uint32) if hasattr(g, "astype") else g % 32
+    m = (((wt_ref[:, :] >> s_sh) & jnp.uint32(1))
+         .astype(jnp.int32).astype(jnp.float32))       # (gene_block, bc)
+    pred = jax.lax.dot_general(
+        Wd_ref[0], H_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    diff2 = jnp.square(pred - tile_ref[:, :])
+    s_part = jnp.sum(m * diff2, axis=0, keepdims=True)     # (1, bc)
+    n_part = jnp.sum(m, axis=0, keepdims=True)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[0:1, :] = s_part
+        out_ref[1:2, :] = n_part
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[0:1, :] = out_ref[0:1, :] + s_part
+        out_ref[1:2, :] = out_ref[1:2, :] + n_part
+
+
+@functools.partial(jax.jit, static_argnames=("gene_block", "precision",
+                                             "interpret"))
+def bell_mse_bits(b_li, b_val, words_t, Wd, H, *, gene_block: int,
+                  precision=None, interpret: bool = False):
+    """Per-cell masked squared-error sums and counts of one cell block:
+    returns (8, block) f32 with row 0 = sum over TEST-masked genes of
+    (pred - A)^2 and row 1 = the masked-gene count (rows 2-7 zero pad).
+    ``words_t``: (n_t * gene_block, block) u32 — the TRANSPOSED packed
+    mask (ops/maskbits.py) sliced to this cell block. Validity is baked
+    into the bits at pack time. Semantics of ``mse_test``
+    (reference:src/singlet.cpp:536-568) before the per-cell s/n division.
+    """
+    k = H.shape[1]
+    block = b_li.shape[1]
+    n_gb = Wd.shape[0] // gene_block
+    width = b_li.shape[0] // n_gb
+    bc = _sub_block(block)
+    return pl.pallas_call(
+        functools.partial(_mse_kernel, gene_block=gene_block,
+                          precision=precision),
+        grid=(block // bc, n_gb),
+        in_specs=[
+            pl.BlockSpec((width, bc), lambda i, g: (g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, bc), lambda i, g: (g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gene_block, bc), lambda i, g: (g // 32, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gene_block, k), lambda i, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, k), lambda i, g: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bc), lambda i, g: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, block), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((gene_block, bc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)
+            + 2 * gene_block * _sub_block(block) * 4),
+        interpret=interpret,
+    )(b_li, b_val, words_t, Wd.reshape(n_gb, gene_block, k), H)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "gene_block", "n_gb", "inv_density", "masked", "precision",
     "interpret"))

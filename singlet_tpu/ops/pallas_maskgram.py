@@ -359,8 +359,11 @@ def mask_packed_w_t_bits(P_op, scales, words_t, *, gene_block: int,
     P_op = P_op.reshape(n_gb, gene_block, np_pad)
     scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
     esz = 1 if int8_path else 2
-    vmem = min(2 * esz * gene_block * np_pad + 2 * 4 * np_pad * bc
-               + 2 * 4 * gene_block * bc + (16 << 20), 128 << 20)
+    # P blocks (double-buffered) + out (double-buffered f32) + the int32/f32
+    # accumulator scratch + word tiles and their shift temps + slack
+    vmem = min(2 * esz * gene_block * np_pad + 3 * 4 * np_pad * bc
+               + 4 * np_pad * bc + 2 * 4 * gene_block * bc + (20 << 20),
+               128 << 20)
     return pl.pallas_call(
         functools.partial(_mpw_bits_kernel, n_gb=n_gb, int8_path=int8_path),
         grid=(block // bc, n_gb),
@@ -398,8 +401,11 @@ def mask_packed_h_t_bits(P_op, scales, words, acc, *, gene_block: int,
     n_gb = genes_pad // gene_block
     scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
     esz = 1 if int8_path else 2
-    vmem = min(2 * esz * bc * np_pad + 2 * 4 * np_pad * gene_block
-               + 2 * 4 * gene_block * bc + (16 << 20), 128 << 20)
+    # P blocks + out AND aliased acc input (each double-buffered f32) +
+    # the int32 part / dequant temps + word tiles + slack
+    vmem = min(2 * esz * bc * np_pad + 4 * 4 * np_pad * gene_block
+               + 2 * 4 * np_pad * gene_block + 2 * 4 * gene_block * bc
+               + (20 << 20), 128 << 20)
     return pl.pallas_call(
         functools.partial(_mph_bits_kernel, int8_path=int8_path),
         grid=(n_gb, block // bc),

@@ -1003,6 +1003,32 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         Wd = W * d[None, :]
         words = bits[0] if bits is not None else None
 
+        if bits is not None and use_bell_kernels:
+            # fully fused Pallas path: densify + predict + masked reduce
+            # in VMEM, mask from the once-per-fit packed bits
+            from singlet_tpu.ops.pallas_bell import bell_mse_bits
+
+            words_t = bits[1]
+
+            def blk_kernel(acc, bi):
+                start = bi * cell_block
+                li = _slice_planes(b_li, start, cell_block)
+                lv = _slice_planes(b_val, start, cell_block)
+                wt_blk = jax.lax.dynamic_slice_in_dim(
+                    words_t, start, cell_block, 1)
+                Hb = _slice2(H_loc, start, cell_block)
+                out = bell_mse_bits(li, lv, wt_blk, Wd, Hb,
+                                    gene_block=gene_block,
+                                    precision=MM_PRECISION)
+                s, n = out[0], out[1]
+                return acc + jnp.sum(jnp.where(n > 0,
+                                               s / jnp.maximum(n, 1.0),
+                                               0.0)), None
+
+            acc, _ = jax.lax.scan(blk_kernel, jnp.zeros((), W.dtype),
+                                  jnp.arange(cells_local // cell_block))
+            return jax.lax.psum(acc, AXIS) / cells_true
+
         def blk(acc, bi):
             start = bi * cell_block
             if words is None:

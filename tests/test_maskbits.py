@@ -142,6 +142,45 @@ def test_mask_packed_h_t_bits_matches_dense(rng, dtype):
                                np.asarray(want[:npairs]), **tol)
 
 
+def test_bell_mse_bits_matches_xla(rng):
+    """The fused masked-MSE kernel (interpret) vs the dense XLA formula on
+    a small blocked-ELL operand."""
+    import scipy.sparse as sp
+
+    from singlet_tpu import native
+    from singlet_tpu.ops.pallas_bell import bell_mse_bits
+    from singlet_tpu.parallel.sharded_ell import (bell_width, bell_widths,
+                                                  planes_to_device_layout)
+
+    genes, gene_block, cells, k = 96, 32, 48, 5
+    inv = 5
+    A = sp.random(genes, cells, density=0.2, random_state=1, format="csc",
+                  dtype=np.float32)
+    n_gb = genes // gene_block
+    width = bell_width(bell_widths(A, n_gb, gene_block))
+    li, lv = native.csc_to_bell(A, cells, gene_block, n_gb, width)
+    li2 = jnp.asarray(planes_to_device_layout(li))
+    lv2 = jnp.asarray(planes_to_device_layout(lv))
+    W = jnp.asarray(rng.random((genes, k)).astype(np.float32))
+    d = jnp.asarray(rng.random((k,)).astype(np.float32)) + 0.5
+    H = jnp.asarray(rng.random((cells, k)).astype(np.float32))
+    seed = seed_pair(11)
+    ids = jnp.arange(cells, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=genes,
+                            gene_block=gene_block, inv_density=inv,
+                            cells_true=cells, genes_true=genes)
+    out = bell_mse_bits(li2, lv2, words.T, W * d[None, :], H,
+                        gene_block=gene_block, interpret=True)
+    m = np.asarray(mask_block(seed, ids, jnp.arange(genes), inv))
+    pred = np.asarray(H) @ (np.asarray(W) * np.asarray(d)[None, :]).T
+    diff2 = (pred - np.asarray(A.todense()).T) ** 2
+    s_want = (diff2 * m).sum(axis=1)
+    n_want = m.sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out[0]), s_want, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), n_want)
+
+
 def test_quantize_pairs_precision(rng):
     """Per-pair int8 quantization error is bounded by scale/2 per element
     (comparable to the bf16 operand path's 2^-9 relative rounding)."""
