@@ -786,12 +786,15 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
     def _masked_block(k: int, npairs: int) -> int:
         """Masked compute-block size: a multiple of ``cell_block`` dividing
         ``cells_local``. Default = one storage block — measured FASTEST on
-        the 524k/k=100 v5e config (0.341 iters/s at 2048 vs 0.309 at 4096
-        vs 0.26 at 8192): the hypothesized win from fewer (genes_pad,
-        npairs) ``Pk``-carry updates is outweighed by worse intra-block
-        overlap at larger bodies. ``SINGLET_TPU_MASKED_BLOCK_GIB`` sets an
-        HBM-intermediate budget to opt into larger compute blocks for
-        re-measurement on other topologies."""
+        the 524k/k=100 v5e config in BOTH masked-product formulations:
+        dense-mask era 0.341 iters/s at 2048 vs 0.309 at 4096 vs 0.26 at
+        8192; bit-packed/int8 era (round 4) 0.585 at 2048 vs 0.539 at
+        8192 — the hypothesized win from fewer (genes_pad, npairs)
+        ``Pk``-carry round-trips is real but smaller than the loss from
+        worse kernel pipelining at larger bodies (the carry DMA overlaps
+        compute; the longer scan bodies do not). ``SINGLET_TPU_MASKED_
+        BLOCK_GIB`` sets an HBM-intermediate budget to re-measure on other
+        topologies."""
         import os
 
         budget = int(float(os.environ.get(
