@@ -1,5 +1,10 @@
 """TPU (non-interpret) correctness check of the bits kernels at a
 mid-size shape, vs the XLA dense-mask reference."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -61,4 +66,42 @@ wanth = 0.25 + jnp.dot((qh.astype(jnp.float32) * sh[None, :]).T, m,
 dh = np.abs(np.asarray(goth[:npairs]) - np.asarray(wanth[:npairs]))
 relh = dh / (np.abs(np.asarray(wanth[:npairs])) + 1e-3)
 print("mph int8 max rel", relh.max())
+
+# --- h-side, HASH kernel: the aliasing regression check. A revisited
+# output block's VMEM window is NOT initialized from the aliased HBM
+# content on hardware (interpret mode initializes it), so this kernel
+# once silently dropped the carry ON DEVICE while its interpret test
+# passed — keep this on-chip check alive.
+from singlet_tpu.ops.pallas_maskgram import mask_packed_h_t
+
+got_hash = mask_packed_h_t(Ph, seed, ids, acc0, gene_block=GENE_BLOCK,
+                           inv_density=INV, cells_true=CELLS,
+                           genes_true=GENES)
+want_hash = 0.25 + jnp.dot(Ph.astype(jnp.bfloat16).T,
+                           m.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+rel_hash = np.abs(np.asarray(got_hash[:npairs]) -
+                  np.asarray(want_hash[:npairs])) / (
+    np.abs(np.asarray(want_hash[:npairs])) + 1e-3)
+print("mph hash max rel", rel_hash.max())
+assert rel_hash.max() < 1e-4, "aliased-carry regression"
+
+# --- bits keep-mask bELL SpMMs vs the hash kernels (bit-identical keep) -
+from benchmarks.largescale import build_sharded_ell_synth
+from singlet_tpu.ops.pallas_bell import (bell_spmm, bell_spmm_bits,
+                                         bell_spmm_t, bell_spmm_t_bits)
+
+data = build_sharded_ell_synth(GENES, CELLS, 96, gene_block=GENE_BLOCK)
+li, lv = data.b_li, data.b_val
+wb = bell_spmm(li, lv, W, seed, ids, gene_block=GENE_BLOCK,
+               inv_density=INV, masked=True)
+gb = bell_spmm_bits(li, lv, W, words.T, gene_block=GENE_BLOCK)
+print("bell_spmm bits-vs-hash max abs",
+      float(jnp.max(jnp.abs(wb - gb))))
+wbw = bell_spmm_t(li, lv, H, seed, ids, gene_block=GENE_BLOCK,
+                  n_gb=GENES // GENE_BLOCK, inv_density=INV, masked=True)
+gbw = bell_spmm_t_bits(li, lv, H, words.T, gene_block=GENE_BLOCK,
+                       n_gb=GENES // GENE_BLOCK)
+print("bell_spmm_t bits-vs-hash max abs",
+      float(jnp.max(jnp.abs(wbw - gbw))))
 print("OK")

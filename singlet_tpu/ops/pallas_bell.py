@@ -203,6 +203,128 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
     )(seed2, ids2, b_li, b_val, W.reshape(n_gb, gene_block, k))
 
 
+def _keep_bits(wt_ref, g):
+    """Dense KEEP factor (1 - test mask) of gene block ``g`` from its
+    bitplane word tile — the bits twin of ``_keep_at_nnz`` applied to the
+    densified tile instead of the nnz window (identical products: pad
+    slots densify to exact zeros)."""
+    s = (g % 32).astype(jnp.uint32) if hasattr(g, "astype") else g % 32
+    m = ((wt_ref[:, :] >> s) & jnp.uint32(1)).astype(jnp.int32)
+    return (1 - m).astype(jnp.float32)
+
+
+def _spmm_bits_kernel(wt_ref, li_ref, lv_ref, W_ref, out_ref, tile_ref, *,
+                      gene_block: int, precision):
+    g = pl.program_id(1)
+    _build_tile_t(tile_ref, li_ref[...], lv_ref[...], gene_block)
+    part = jax.lax.dot_general(
+        tile_ref[:, :] * _keep_bits(wt_ref, g), W_ref[0, :, :],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:, :] = part
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
+
+
+def _spmm_t_bits_kernel(wt_ref, li_ref, lv_ref, H_ref, out_ref, tile_ref,
+                        *, gene_block: int, precision):
+    g = pl.program_id(0)
+    i = pl.program_id(1)
+    _build_tile_t(tile_ref, li_ref[...], lv_ref[...], gene_block)
+    part = jax.lax.dot_general(
+        tile_ref[:, :] * _keep_bits(wt_ref, g), H_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, :, :] = part
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[0, :, :] = out_ref[0, :, :] + part
+
+
+@functools.partial(jax.jit, static_argnames=("gene_block", "precision",
+                                             "interpret"))
+def bell_spmm_bits(b_li, b_val, W, words_t, *, gene_block: int,
+                   precision=None, interpret: bool = False):
+    """Keep-masked ``bell_spmm`` with the CV mask read from the
+    once-per-fit packed bitplane words (TRANSPOSED orientation, sliced to
+    this cell block) instead of hashed in-kernel."""
+    k = W.shape[1]
+    block = b_li.shape[1]
+    n_gb = W.shape[0] // gene_block
+    width = b_li.shape[0] // n_gb
+    bc = _sub_block(block)
+    return pl.pallas_call(
+        functools.partial(_spmm_bits_kernel, gene_block=gene_block,
+                          precision=precision),
+        grid=(block // bc, n_gb),
+        in_specs=[
+            pl.BlockSpec((gene_block, bc), lambda i, g: (g // 32, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, bc), lambda i, g: (g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, bc), lambda i, g: (g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gene_block, k), lambda i, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc, k), lambda i, g: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((block, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((gene_block, bc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)
+            + 3 * gene_block * _sub_block(block) * 4),
+        interpret=interpret,
+    )(words_t, b_li, b_val, W.reshape(n_gb, gene_block, k))
+
+
+@functools.partial(jax.jit, static_argnames=("gene_block", "n_gb",
+                                             "precision", "interpret"))
+def bell_spmm_t_bits(b_li, b_val, H, words_t, *, gene_block: int,
+                     n_gb: int, precision=None, interpret: bool = False):
+    """Keep-masked ``bell_spmm_t`` with the CV mask from packed bitplane
+    words (TRANSPOSED orientation, sliced to this cell block)."""
+    k = H.shape[1]
+    block = b_li.shape[1]
+    bc = _sub_block(block)
+    width = b_li.shape[0] // n_gb
+    out = pl.pallas_call(
+        functools.partial(_spmm_t_bits_kernel, gene_block=gene_block,
+                          precision=precision),
+        grid=(n_gb, block // bc),
+        in_specs=[
+            pl.BlockSpec((gene_block, bc), lambda g, i: (g // 32, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, bc), lambda g, i: (g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, bc), lambda g, i: (g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, k), lambda g, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gene_block, k), lambda g, i: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_gb, gene_block, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((gene_block, bc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_budget(bc, gene_block, width, k)
+            + 3 * gene_block * _sub_block(block) * 4),
+        interpret=interpret,
+    )(words_t, b_li, b_val, H)
+    return out.reshape(n_gb * gene_block, k)
+
+
 def _mse_kernel(li_ref, lv_ref, wt_ref, Wd_ref, H_ref, out_ref, tile_ref,
                 *, gene_block: int, precision):
     """Held-out test-MSE partials of one (cell sub-block, gene block)

@@ -609,9 +609,17 @@ def _make_spmm_fns(gene_block: int, n_gb: int, inv_density: int):
         m = mask_block(seed, ids, gene_ids, inv_density)
         return 1.0 - m.astype(jnp.float32)
 
-    def _spmm_b(li, lv, W, seed=None, ids=None):
-        """B (block, k) = keep-masked SpMM of one cell block against W."""
+    def _spmm_b(li, lv, W, seed=None, ids=None, wt=None):
+        """B (block, k) = keep-masked SpMM of one cell block against W.
+        ``wt`` (transposed packed-mask words of this block, maskbits.py)
+        selects the hash-free bits kernel on the masked path."""
         if use_bell_kernels:
+            if seed is not None and wt is not None:
+                from singlet_tpu.ops.pallas_bell import bell_spmm_bits
+
+                return bell_spmm_bits(li, lv, W, wt,
+                                      gene_block=gene_block,
+                                      precision=MM_PRECISION)
             from singlet_tpu.ops.pallas_bell import bell_spmm
 
             return bell_spmm(
@@ -627,9 +635,15 @@ def _make_spmm_fns(gene_block: int, n_gb: int, inv_density: int):
             B = B + jnp.dot(tile, W[gsl], precision=MM_PRECISION)
         return B
 
-    def _spmm_bw(li, lv, Hb, seed=None, ids=None):
+    def _spmm_bw(li, lv, Hb, seed=None, ids=None, wt=None):
         """Bw partials (genes_pad, k) = keep-masked SpMM^T of one block."""
         if use_bell_kernels:
+            if seed is not None and wt is not None:
+                from singlet_tpu.ops.pallas_bell import bell_spmm_t_bits
+
+                return bell_spmm_t_bits(li, lv, Hb, wt,
+                                        gene_block=gene_block, n_gb=n_gb,
+                                        precision=MM_PRECISION)
             from singlet_tpu.ops.pallas_bell import bell_spmm_t
 
             return bell_spmm_t(
@@ -901,13 +915,15 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                                                mblock)
             li = _slice_planes(b_li, start, mblock)
             lv = _slice_planes(b_val, start, mblock)
-            B = _spmm_b(li, lv, W, seed=seed, ids=ids)
+            wt_blk = None
+            if mode in ("int8", "bf16"):
+                wt_blk = jax.lax.dynamic_slice_in_dim(
+                    words_t, start, mblock, 1)
+            B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=wt_blk)
             if mode in ("int8", "bf16"):
                 from singlet_tpu.ops.pallas_maskgram import \
                     mask_packed_w_t_bits
 
-                wt_blk = jax.lax.dynamic_slice_in_dim(
-                    words_t, start, mblock, 1)
                 packed_t = mask_packed_w_t_bits(
                     Pw_op, Pw_s, wt_blk, gene_block=gene_block)
             elif mode == "hash":
@@ -926,7 +942,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                                      L1=L1_h, L2=L2_h,
                                      update_mask=ne, n_coord=n_coord,
                                      sweep_cap=sweep_cap)
-            Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids)
+            Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids, wt=wt_blk)
             Ph_b = packed_outer_products(Hb, iu_pad)     # (blk, np_pad)
             if mode in ("int8", "bf16"):
                 from singlet_tpu.ops.pallas_maskgram import (

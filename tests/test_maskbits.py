@@ -181,6 +181,51 @@ def test_bell_mse_bits_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(out[1]), n_want)
 
 
+def test_bell_spmm_bits_matches_hash(rng):
+    """The bits keep-mask bELL SpMM kernels (interpret) vs the in-kernel
+    hash kernels — identical keep factors, identical products."""
+    import scipy.sparse as sp
+
+    from singlet_tpu import native
+    from singlet_tpu.ops.pallas_bell import (bell_spmm, bell_spmm_bits,
+                                             bell_spmm_t, bell_spmm_t_bits)
+    from singlet_tpu.parallel.sharded_ell import (bell_width, bell_widths,
+                                                  planes_to_device_layout)
+
+    genes, gene_block, cells, k = 96, 32, 48, 5
+    inv = 5
+    A = sp.random(genes, cells, density=0.2, random_state=2, format="csc",
+                  dtype=np.float32)
+    A.data = np.abs(A.data) + 0.1
+    n_gb = genes // gene_block
+    width = bell_width(bell_widths(A, n_gb, gene_block))
+    li, lv = native.csc_to_bell(A, cells, gene_block, n_gb, width)
+    li2 = jnp.asarray(planes_to_device_layout(li))
+    lv2 = jnp.asarray(planes_to_device_layout(lv))
+    W = jnp.asarray(rng.random((genes, k)).astype(np.float32))
+    H = jnp.asarray(rng.random((cells, k)).astype(np.float32))
+    seed = seed_pair(17)
+    ids = jnp.arange(cells, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=genes,
+                            gene_block=gene_block, inv_density=inv,
+                            cells_true=cells, genes_true=genes)
+
+    want_b = bell_spmm(li2, lv2, W, seed, ids, gene_block=gene_block,
+                       inv_density=inv, masked=True, interpret=True)
+    got_b = bell_spmm_bits(li2, lv2, W, words.T, gene_block=gene_block,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-6, atol=1e-6)
+
+    want_bw = bell_spmm_t(li2, lv2, H, seed, ids, gene_block=gene_block,
+                          n_gb=n_gb, inv_density=inv, masked=True,
+                          interpret=True)
+    got_bw = bell_spmm_t_bits(li2, lv2, H, words.T, gene_block=gene_block,
+                              n_gb=n_gb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_bw), np.asarray(want_bw),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_quantize_pairs_precision(rng):
     """Per-pair int8 quantization error is bounded by scale/2 per element
     (comparable to the bf16 operand path's 2^-9 relative rounding)."""
