@@ -335,7 +335,7 @@ def kernels():
                             cell_block=cell_block)
         return w, w.T
 
-    words, words_t = jax.jit(pack_bits)(seed)
+    words, words_t = pack_bits(seed)
     float(jnp.sum(words[0, :8].astype(jnp.float32)))
     Pw_q, Pw_s = quantize_pairs(
         packed_outer_products(jax.random.uniform(key, (genes, k)), iu_pad),

@@ -57,14 +57,15 @@ def pack_mask_words(seed: jnp.ndarray, cell_ids: jnp.ndarray, *,
     bitplane words, (len(cell_ids), n_t * gene_block) uint32.
 
     Runs as a scan over ``cell_block``-cell slabs so the dense bool mask
-    temp stays (cell_block, genes_pad). ``cell_ids`` length must be a
-    multiple of ``cell_block`` (the sharded engine's local cell axis is).
+    temp stays (cell_block, genes_pad); a non-multiple ``cell_ids``
+    length halves the slab until it divides (never the full-matrix slab
+    — that temp is ~8.6 GB at the 524k x 16k config).
     """
     n_gb = genes_pad // gene_block
     n_t = n_word_groups(n_gb)
     cells = cell_ids.shape[0]
-    if cells % cell_block:
-        cell_block = cells
+    while cells % cell_block:
+        cell_block = max(cell_block // 2, 1)
     gene_ids = jnp.arange(genes_pad)
     shifts = jnp.arange(32, dtype=U32)
 

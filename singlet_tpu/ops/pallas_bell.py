@@ -203,14 +203,19 @@ def bell_spmm(b_li, b_val, W, seed, cell_ids, *, gene_block: int,
     )(seed2, ids2, b_li, b_val, W.reshape(n_gb, gene_block, k))
 
 
-def _keep_bits(wt_ref, g):
-    """Dense KEEP factor (1 - test mask) of gene block ``g`` from its
-    bitplane word tile — the bits twin of ``_keep_at_nnz`` applied to the
-    densified tile instead of the nnz window (identical products: pad
-    slots densify to exact zeros)."""
+def _mask_bits(wt_ref, g):
+    """Dense 0/1 f32 TEST mask of gene block ``g`` from its bitplane word
+    tile (ops/maskbits.py layout: word group g // 32, bitplane g % 32)."""
     s = (g % 32).astype(jnp.uint32) if hasattr(g, "astype") else g % 32
     m = ((wt_ref[:, :] >> s) & jnp.uint32(1)).astype(jnp.int32)
-    return (1 - m).astype(jnp.float32)
+    return m.astype(jnp.float32)
+
+
+def _keep_bits(wt_ref, g):
+    """Dense KEEP factor (1 - test mask) — the bits twin of
+    ``_keep_at_nnz`` applied to the densified tile instead of the nnz
+    window (identical products: pad slots densify to exact zeros)."""
+    return 1.0 - _mask_bits(wt_ref, g)
 
 
 def _spmm_bits_kernel(wt_ref, li_ref, lv_ref, W_ref, out_ref, tile_ref, *,
@@ -337,9 +342,7 @@ def _mse_kernel(li_ref, lv_ref, wt_ref, Wd_ref, H_ref, out_ref, tile_ref,
     cell, over the gene blocks (fastest grid dim)."""
     g = pl.program_id(1)
     _build_tile_t(tile_ref, li_ref[...], lv_ref[...], gene_block)
-    s_sh = (g % 32).astype(jnp.uint32) if hasattr(g, "astype") else g % 32
-    m = (((wt_ref[:, :] >> s_sh) & jnp.uint32(1))
-         .astype(jnp.int32).astype(jnp.float32))       # (gene_block, bc)
+    m = _mask_bits(wt_ref, g)                          # (gene_block, bc)
     pred = jax.lax.dot_general(
         Wd_ref[0], H_ref[:, :], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
@@ -349,6 +352,10 @@ def _mse_kernel(li_ref, lv_ref, wt_ref, Wd_ref, H_ref, out_ref, tile_ref,
 
     @pl.when(g == 0)
     def _():
+        # zero the WHOLE block: rows 2-7 are documented as zero pad, and
+        # a never-written output block would hold uninitialized VMEM on
+        # hardware (interpret mode zero-fills, hiding it)
+        out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
         out_ref[0:1, :] = s_part
         out_ref[1:2, :] = n_part
 

@@ -40,11 +40,16 @@ is exactly representable in int8, the products run on the MXU's int8 path
 per-PAIR (symmetric max scaling, the pair axis is the output row axis so
 dequantization is a row-broadcast multiply), accumulation is EXACT int32
 (max genes * 127 << 2^31), and the only rounding is the one int8
-quantization of the operand — comparable per-element precision to the
-bf16 path (2^-8 vs 2^-9 relative), guarded by the same CV-curve
-invariance benchmark. ``SINGLET_TPU_MASKGRAM`` selects int8 (default) /
-bf16 (bits, bf16 operand) / hash (round-4.0 in-kernel hash kernels) /
-xla (dense-mask XLA fallback).
+quantization of the operand. Precision caveat: the quantization error is
+relative to each pair column's MAX (elements below max/254 round to 0),
+not per-element like bf16's 2^-9 — for NMF packed outer products the
+within-column dynamic range is modest (products of nonneg loadings),
+and the ARD trace cross-checks (int8 vs xla: test-MSE rel 4e-6) license
+the default; heavy-tailed columns are the case to watch, and
+``SINGLET_TPU_MASKGRAM=bf16`` restores magnitude-independent rounding.
+The env var selects int8 (default) / bf16 (bits, bf16 operand) / hash
+(round-4.0 in-kernel hash kernels) / xla (dense-mask XLA fallback), and
+is read at fit-build time (not import time) like the sibling knobs.
 """
 
 from __future__ import annotations
@@ -59,7 +64,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from singlet_tpu.ops.rngmask import _J_MIX, _XJ_MIX, _xs, hash_i, u64_add
 
-MASKGRAM_MODE = os.environ.get("SINGLET_TPU_MASKGRAM", "int8").lower()
+def maskgram_mode() -> str:
+    """Masked-product kernel path, read from ``SINGLET_TPU_MASKGRAM`` at
+    call time (fit-build time for the engines) so mid-session changes
+    take effect like the sibling knobs. Unknown values fall back to the
+    int8 default."""
+    mode = os.environ.get("SINGLET_TPU_MASKGRAM", "int8").lower()
+    return mode if mode in ("int8", "bf16", "hash", "xla") else "int8"
 
 # The packed-product operand (np_pad wide, ~165 MB bf16 at k=100/16k genes)
 # is re-read once per cell sub-block: bc sets the re-read factor, so it is

@@ -827,9 +827,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         if not (use_bell_kernels and
                 MASK_MM_PRECISION == jax.lax.Precision.DEFAULT):
             return False
-        from singlet_tpu.ops.pallas_maskgram import MASKGRAM_MODE
-        return MASKGRAM_MODE in ("int8", "bf16") or MASKGRAM_MODE not in (
-            "hash", "xla")
+        from singlet_tpu.ops.pallas_maskgram import maskgram_mode
+        return maskgram_mode() in ("int8", "bf16")
 
     def _prepare_bits(seed):
         """Pack this device's local-cell CV mask into bitplane words, both
@@ -868,9 +867,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         # pass none and get the in-kernel-hash kernels.
         mode = "xla"
         if use_bell_kernels and MASK_MM_PRECISION == jax.lax.Precision.DEFAULT:
-            from singlet_tpu.ops.pallas_maskgram import MASKGRAM_MODE
-            mode = MASKGRAM_MODE if MASKGRAM_MODE in (
-                "int8", "bf16", "hash", "xla") else "int8"
+            from singlet_tpu.ops.pallas_maskgram import maskgram_mode
+            mode = maskgram_mode()
             if bits is None and mode in ("int8", "bf16"):
                 mode = "hash"
         use_maskgram = mode != "xla"
@@ -884,9 +882,11 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         if mode == "int8":
             from singlet_tpu.ops.pallas_maskgram import quantize_pairs
             Pw_op, Pw_s = quantize_pairs(Pw, axis=0)
-        elif mode in ("bf16", "hash"):
+        elif mode == "bf16":
             Pw_op = Pw.astype(jnp.bfloat16)
             Pw_s = jnp.ones((np_pad,), jnp.float32)
+        elif mode == "hash":
+            Pw_op = Pw.astype(jnp.bfloat16)
 
         def _mask_of(ids):
             m = mask_block(seed, ids, gene_ids, inv_density)

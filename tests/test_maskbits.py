@@ -68,6 +68,45 @@ def test_pack_many_gene_blocks_multi_group():
                                   np.asarray(m))
 
 
+def test_bits_kernels_multi_word_group(rng):
+    """n_gb > 32 exercises word group 1+ (the g // 32 block-index maps and
+    the g % 32 shifts) in BOTH bits product kernels — everywhere else in
+    the suite and on the benchmark config g // 32 is always 0."""
+    genes, gene_block, cells, k = 512, 8, 16, 3    # n_gb = 64, n_t = 2
+    inv = 3
+    iu = triu_pairs(k)
+    np_pad = 128
+    iu_pad = pad_pairs(iu, np_pad)
+    W = jnp.asarray(rng.random((genes, k)).astype(np.float32))
+    H = jnp.asarray(rng.random((cells, k)).astype(np.float32))
+    Pw = packed_outer_products(W, iu_pad)
+    Ph = packed_outer_products(H, iu_pad)
+    seed = seed_pair(5)
+    ids = jnp.arange(cells, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=genes,
+                            gene_block=gene_block, inv_density=inv,
+                            cells_true=cells, genes_true=genes)
+    m = mask_block(seed, ids, jnp.arange(genes), inv).astype(jnp.float32)
+    npairs = iu[0].shape[0]
+
+    q, s = quantize_pairs(Pw, axis=0)
+    got = mask_packed_w_t_bits(q, s, words.T, gene_block=gene_block,
+                               interpret=True)
+    want = jnp.dot(m, q.astype(jnp.float32) * s[None, :]).T
+    np.testing.assert_allclose(np.asarray(got[:npairs]),
+                               np.asarray(want[:npairs]),
+                               rtol=1e-5, atol=1e-5)
+
+    qh, sh = quantize_pairs(Ph, axis=0)
+    acc0 = jnp.zeros((np_pad, genes), jnp.float32)
+    goth = mask_packed_h_t_bits(qh, sh, words, acc0, gene_block=gene_block,
+                                interpret=True)
+    wanth = jnp.dot((qh.astype(jnp.float32) * sh[None, :]).T, m)
+    np.testing.assert_allclose(np.asarray(goth[:npairs]),
+                               np.asarray(wanth[:npairs]),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("dtype", ["int8", "bf16"])
 def test_mask_packed_w_t_bits_matches_dense(rng, dtype):
     cells_true, genes_true = CELLS - 10, GENES - 7
