@@ -831,10 +831,15 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         return maskgram_mode() in ("int8", "bf16")
 
     def _prepare_bits(seed):
-        """Pack this device's local-cell CV mask into bitplane words, both
-        orientations — ONCE per fit program (the mask is fit-invariant:
-        one seed per fit, reference:src/singlet.cpp:1091-1129 draws from
-        the same seed every iteration)."""
+        """Pack this device's local-cell CV mask into bitplane words —
+        ONCE per fit program (the mask is fit-invariant: one seed per
+        fit, reference:src/singlet.cpp:1091-1129 draws from the same
+        seed every iteration). Only the natural (cells, words)
+        orientation is stored; consumers that need genes-on-rows tiles
+        transpose their per-block SLICE (a few MB) rather than keeping a
+        second full copy in HBM (1 GiB at the 524k config, 4.3 GiB at
+        1M cells — the difference between the masked 1M fit fitting in
+        16 GB HBM or not)."""
         from singlet_tpu.ops.maskbits import pack_mask_words
 
         dev = jax.lax.axis_index(AXIS)
@@ -843,7 +848,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             seed, ids, genes_pad=genes_pad, gene_block=gene_block,
             inv_density=inv_density, cells_true=cells_true,
             genes_true=genes_true, cell_block=cell_block)
-        return words, words.T
+        return (words,)
 
     def _masked(b_li, b_val, ne_loc, gene_ne, W, H_loc,
                 seed, L1_h, L1_w, L2_h, L2_w, k_true, sweep_cap=None,
@@ -872,9 +877,9 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             if bits is None and mode in ("int8", "bf16"):
                 mode = "hash"
         use_maskgram = mode != "xla"
-        words = words_t = None
+        words = None
         if mode in ("int8", "bf16"):
-            words, words_t = bits
+            (words,) = bits
 
         a_full = jnp.dot(W.T, W, precision=MM_PRECISION) + 1e-15 * jnp.eye(k)
         Pw = packed_outer_products(W, iu_pad)      # (genes_pad, np_pad)
@@ -917,8 +922,7 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             lv = _slice_planes(b_val, start, mblock)
             wt_blk = None
             if mode in ("int8", "bf16"):
-                wt_blk = jax.lax.dynamic_slice_in_dim(
-                    words_t, start, mblock, 1)
+                wt_blk = _slice2(words, start, mblock).T
             B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=wt_blk)
             if mode in ("int8", "bf16"):
                 from singlet_tpu.ops.pallas_maskgram import \
@@ -1027,14 +1031,11 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             # in VMEM, mask from the once-per-fit packed bits
             from singlet_tpu.ops.pallas_bell import bell_mse_bits
 
-            words_t = bits[1]
-
             def blk_kernel(acc, bi):
                 start = bi * cell_block
                 li = _slice_planes(b_li, start, cell_block)
                 lv = _slice_planes(b_val, start, cell_block)
-                wt_blk = jax.lax.dynamic_slice_in_dim(
-                    words_t, start, cell_block, 1)
+                wt_blk = _slice2(words, start, cell_block).T
                 Hb = _slice2(H_loc, start, cell_block)
                 out = bell_mse_bits(li, lv, wt_blk, Wd, Hb,
                                     gene_block=gene_block,
