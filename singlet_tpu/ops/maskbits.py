@@ -66,6 +66,15 @@ def pack_mask_words(seed: jnp.ndarray, cell_ids: jnp.ndarray, *,
     cells = cell_ids.shape[0]
     while cells % cell_block:
         cell_block = max(cell_block // 2, 1)
+    # A large odd factor (e.g. a prime cell count) collapses the halving
+    # toward cell_block=1 and a cells-length scan: fail fast instead of
+    # tracing a pathological program. Engine callers always pass a
+    # power-of-two-aligned cell count.
+    if cell_block < 64 and cells > 4096:
+        raise ValueError(
+            f"pack_mask_words: {cells} cells do not divide into "
+            f">=64-cell slabs (largest dividing slab {cell_block}); pad "
+            f"cell_ids to a multiple of a reasonable block first")
     gene_ids = jnp.arange(genes_pad)
     shifts = jnp.arange(32, dtype=U32)
 

@@ -1521,7 +1521,12 @@ class ShardedEllEngine:
 
     def fit_loop(self, inv_density: int, maxit: int, masked: bool,
                  linked: bool = False):
-        key = ("fit", inv_density, maxit, masked, linked)
+        # maskgram_mode() is read at fit-BUILD time (SINGLET_TPU_MASKGRAM can
+        # change mid-session), so it must key the compiled-loop cache too —
+        # otherwise a flipped env var silently reuses the old product path.
+        from singlet_tpu.ops.pallas_maskgram import maskgram_mode
+        key = ("fit", inv_density, maxit, masked, linked,
+               maskgram_mode() if masked else None)
         if key not in self._loops:
             self._loops[key] = build_sharded_ell_fit_loop(
                 self.data, inv_density, maxit, masked, linked=linked)
@@ -1529,7 +1534,9 @@ class ShardedEllEngine:
 
     def ard_loop(self, inv_density: int, maxit: int, trace_every: int,
                  max_traces: int):
-        key = ("ard", inv_density, maxit, trace_every, max_traces)
+        from singlet_tpu.ops.pallas_maskgram import maskgram_mode
+        key = ("ard", inv_density, maxit, trace_every, max_traces,
+               maskgram_mode())
         if key not in self._loops:
             self._loops[key] = build_sharded_ell_ard_loop(
                 self.data, inv_density, maxit, trace_every, max_traces)

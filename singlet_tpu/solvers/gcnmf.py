@@ -118,19 +118,12 @@ def differentiate_model(h: np.ndarray, G: sp.spmatrix) -> np.ndarray:
     if h.shape[1] != G.shape[1]:
         raise ValueError("dimensions of 'h' and 'G' are not compatible")
     G = sp.csc_matrix(G)
-    k = h.shape[0]
-    n_edges = G.nnz
-    out = np.zeros((2 * k, n_edges))
-    pos = 0
-    for col in range(G.shape[1]):
-        for p in range(G.indptr[col], G.indptr[col + 1]):
-            row = G.indices[p]
-            diff = h[:, col] - h[:, row]
-            up = diff > 0
-            out[:k, pos][up] = diff[up]
-            out[k:, pos][~up] = -diff[~up]
-            pos += 1
-    return out
+    # Vectorized over all edges at once: CSC structure gives (col, row) per
+    # nonzero; the signed split is exactly max(diff, 0) / max(-diff, 0).
+    cols = np.repeat(np.arange(G.shape[1]), np.diff(G.indptr))
+    diff = h[:, cols] - h[:, G.indices]
+    return np.concatenate([np.maximum(diff, 0.0), np.maximum(-diff, 0.0)],
+                          axis=0)
 
 
 def assign_cells_to_edge_clusters(G: sp.spmatrix,
@@ -142,9 +135,6 @@ def assign_cells_to_edge_clusters(G: sp.spmatrix,
     edge_clusters = np.asarray(edge_clusters)
     n_clusters = int(edge_clusters.max()) + 1
     out = np.zeros((n_clusters, G.shape[1]), np.int64)
-    pos = 0
-    for col in range(G.shape[1]):
-        for _ in range(G.indptr[col], G.indptr[col + 1]):
-            out[edge_clusters[pos], col] += 1
-            pos += 1
+    cols = np.repeat(np.arange(G.shape[1]), np.diff(G.indptr))
+    np.add.at(out, (edge_clusters, cols), 1)
     return out

@@ -265,6 +265,64 @@ def test_bell_spmm_bits_matches_hash(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_bell_bits_kernels_multi_word_group(rng):
+    """n_gb > 32 for the three bELL bits kernels (bell_spmm_bits,
+    bell_spmm_t_bits, bell_mse_bits): they share the g // 32 word-group
+    index maps and g % 32 shifts with the maskgram kernels, but every
+    other test runs them at n_gb <= 3 (ADVICE r4)."""
+    import scipy.sparse as sp
+
+    from singlet_tpu import native
+    from singlet_tpu.ops.pallas_bell import (bell_mse_bits, bell_spmm,
+                                             bell_spmm_bits, bell_spmm_t,
+                                             bell_spmm_t_bits)
+    from singlet_tpu.parallel.sharded_ell import (bell_width, bell_widths,
+                                                  planes_to_device_layout)
+
+    genes, gene_block, cells, k = 512, 8, 16, 3    # n_gb = 64, n_t = 2
+    inv = 3
+    A = sp.random(genes, cells, density=0.15, random_state=3, format="csc",
+                  dtype=np.float32)
+    A.data = np.abs(A.data) + 0.1
+    n_gb = genes // gene_block
+    width = bell_width(bell_widths(A, n_gb, gene_block))
+    li, lv = native.csc_to_bell(A, cells, gene_block, n_gb, width)
+    li2 = jnp.asarray(planes_to_device_layout(li))
+    lv2 = jnp.asarray(planes_to_device_layout(lv))
+    W = jnp.asarray(rng.random((genes, k)).astype(np.float32))
+    d = jnp.asarray(rng.random((k,)).astype(np.float32)) + 0.5
+    H = jnp.asarray(rng.random((cells, k)).astype(np.float32))
+    seed = seed_pair(23)
+    ids = jnp.arange(cells, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=genes,
+                            gene_block=gene_block, inv_density=inv,
+                            cells_true=cells, genes_true=genes)
+
+    want_b = bell_spmm(li2, lv2, W, seed, ids, gene_block=gene_block,
+                       inv_density=inv, masked=True, interpret=True)
+    got_b = bell_spmm_bits(li2, lv2, W, words.T, gene_block=gene_block,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-6, atol=1e-6)
+
+    want_bw = bell_spmm_t(li2, lv2, H, seed, ids, gene_block=gene_block,
+                          n_gb=n_gb, inv_density=inv, masked=True,
+                          interpret=True)
+    got_bw = bell_spmm_t_bits(li2, lv2, H, words.T, gene_block=gene_block,
+                              n_gb=n_gb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_bw), np.asarray(want_bw),
+                               rtol=1e-6, atol=1e-6)
+
+    out = bell_mse_bits(li2, lv2, words.T, W * d[None, :], H,
+                        gene_block=gene_block, interpret=True)
+    m = np.asarray(mask_block(seed, ids, jnp.arange(genes), inv))
+    pred = np.asarray(H) @ (np.asarray(W) * np.asarray(d)[None, :]).T
+    diff2 = (pred - np.asarray(A.todense()).T) ** 2
+    np.testing.assert_allclose(np.asarray(out[0]), (diff2 * m).sum(axis=1),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[1]), m.sum(axis=1))
+
+
 def test_quantize_pairs_precision(rng):
     """Per-pair int8 quantization error is bounded by scale/2 per element
     (comparable to the bf16 operand path's 2^-9 relative rounding)."""
