@@ -105,6 +105,14 @@ def main():
                             maxit=4, trace_test_mse=2, seed=7, verbose=0)
     best = get_best_rank(df)
 
+    # the third driver entry point: a small ard_nmf adaptive search on the
+    # same distributed engine (reference:R/ard_nmf.R:31-193) — selected
+    # rank + CV trace must match the single-process twin
+    from singlet_tpu.solvers.drivers import ard_nmf
+
+    ard = ard_nmf(eng, k_init=2, k_max=6, n_replicates=1, tol=0.0,
+                  cv_tol=0.0, maxit=4, trace_test_mse=2, seed=7, verbose=0)
+
     # every process computes identical global results; process 0 persists
     if pid == 0:
         np.savez(os.path.join(out_dir, "dist_result.npz"),
@@ -112,7 +120,11 @@ def main():
                  cv_k=df["k"].to_numpy(), cv_rep=df["rep"].to_numpy(),
                  cv_err=df["test_error"].to_numpy(),
                  cv_iter=df["iter"].to_numpy(), cv_tol=df["tol"].to_numpy(),
-                 best_rank=np.int64(best))
+                 best_rank=np.int64(best),
+                 ard_k=np.int64(ard.k),
+                 ard_cv_k=ard.cv_data["k"].to_numpy(),
+                 ard_cv_err=ard.cv_data["test_error"].to_numpy(),
+                 ard_d=ard.d)
     jax.distributed.shutdown()
     print(f"worker {pid} OK", flush=True)
 

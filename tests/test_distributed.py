@@ -88,3 +88,17 @@ def test_two_process_distributed_fit(tmp_path):
     np.testing.assert_allclose(res["cv_tol"], df["tol"].to_numpy(),
                                rtol=1e-4, atol=1e-7)
     assert int(res["best_rank"]) == int(get_best_rank(df))
+
+    # ard_nmf adaptive search: the 2-process run must reproduce the
+    # single-process selected rank, CV trace, and final scaling exactly
+    from singlet_tpu.solvers.drivers import ard_nmf
+
+    ard = ard_nmf(eng, k_init=2, k_max=6, n_replicates=1, tol=0.0,
+                  cv_tol=0.0, maxit=4, trace_test_mse=2, seed=7, verbose=0)
+    assert int(res["ard_k"]) == ard.k
+    np.testing.assert_array_equal(res["ard_cv_k"],
+                                  ard.cv_data["k"].to_numpy())
+    np.testing.assert_allclose(res["ard_cv_err"],
+                               ard.cv_data["test_error"].to_numpy(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(res["ard_d"], ard.d, rtol=1e-5)
