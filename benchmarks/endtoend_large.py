@@ -45,9 +45,23 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--trace-test-mse", type=int, default=5)
     ap.add_argument("--project-cells", type=int, default=65536)
+    ap.add_argument("--checkpoint", default=None,
+                    help="directory for per-rank-fit search checkpoints; a "
+                         "killed run re-launched with the same args resumes "
+                         "the search there (benchmarks/resume_killtest.py)")
+    ap.add_argument("--save-model", default=None,
+                    help="write the final model + CV trace to this .npz "
+                         "(for bitwise kill-and-resume comparison)")
+    ap.add_argument("--skip-project", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    # honor an explicit CPU request (the axon sitecustomize pins
+    # jax_platforms to the TPU even when JAX_PLATFORMS=cpu is exported) —
+    # lets resume_killtest.py smoke-test the recovery path off-TPU
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/singlet_tpu_jax_cache")
@@ -68,23 +82,36 @@ def main():
     model = ard_nmf(eng, k_init=args.k_init, k_max=args.k_max,
                     n_replicates=1, tol=args.tol, cv_tol=args.cv_tol,
                     maxit=args.maxit, trace_test_mse=args.trace_test_mse,
-                    verbose=2, seed=0)
+                    verbose=2, seed=0, checkpoint=args.checkpoint)
     search_s = time.perf_counter() - t0
+
+    if args.save_model:
+        import numpy as np
+        np.savez(args.save_model, w=model.w, d=model.d, h=model.h,
+                 cv_k=model.cv_data["k"].to_numpy(),
+                 cv_rep=model.cv_data["rep"].to_numpy(),
+                 cv_err=model.cv_data["test_error"].to_numpy(),
+                 cv_iter=model.cv_data["iter"].to_numpy(),
+                 cv_tol=model.cv_data["tol"].to_numpy())
     best_rank = model.k
     n_fits = int(model.cv_data.groupby("k").ngroups) if model.cv_data is not \
         None else -1
     fit_ks = sorted(model.cv_data["k"].unique().tolist())
 
-    t0 = time.perf_counter()
-    pdata = build_sharded_ell_synth(args.genes, args.project_cells,
-                                    args.nnz)
-    jax.block_until_ready(pdata.b_val)
-    peng = ShardedEllEngine(None, data=pdata)
-    pgen_s = time.perf_counter() - t0
+    if args.skip_project:
+        pgen_s = proj_s = 0.0
+        h_proj = model.h.T
+    else:
+        t0 = time.perf_counter()
+        pdata = build_sharded_ell_synth(args.genes, args.project_cells,
+                                        args.nnz)
+        jax.block_until_ready(pdata.b_val)
+        peng = ShardedEllEngine(None, data=pdata)
+        pgen_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    h_proj, d_proj = peng.project(model.w)
-    proj_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        h_proj, d_proj = peng.project(model.w)
+        proj_s = time.perf_counter() - t0
 
     total_s = time.perf_counter() - t_all
     print(json.dumps({

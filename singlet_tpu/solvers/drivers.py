@@ -340,6 +340,7 @@ def ard_nmf(
     max_fits: int = 100,
     mesh=None,
     config=None,
+    checkpoint=None,
 ) -> NMFModel:
     """Automatic rank determination (reference:R/ard_nmf.R:31-193).
 
@@ -351,6 +352,16 @@ def ard_nmf(
     ``max_fits`` is a safety valve (no reference counterpart) against
     pathological search oscillation. ``config`` (an NMFConfig) supplies the
     hyperparameters, taking precedence over per-argument defaults.
+
+    ``checkpoint`` (a CheckpointManager or directory path) persists the
+    SEARCH state after every completed rank fit: the accumulated CV rows
+    plus the adaptive-walk position (replicate, rank, step size, shrunken
+    k_max). A killed search resumed with the same arguments skips every
+    completed fit and continues bit-identically — per-fit state needs no
+    arrays (w inits are deterministic in ``seed``, the CV mask is a
+    stateless counter-RNG of the mask seed). The recovery story for
+    multi-hour searches (SURVEY §5); kill-tested at the 524k config by
+    benchmarks/resume_killtest.py.
     """
     if config is not None:
         k_init, k_max, k_min = config.k_init, config.k_max, config.k_min
@@ -384,14 +395,53 @@ def ard_nmf(
         for rep in range(1, n_replicates + 1)
     ]
 
+    # --- search-state checkpointing (saved after every completed fit) ----
+    from singlet_tpu.checkpoint import CheckpointManager, resolve_manager
+
+    ckpt = resolve_manager(checkpoint, default_every=1)
+    ckpt_cfg = CheckpointManager.config_of(
+        kind="ard_search", genes=int(_rows_true_of(P)),
+        k_init=int(k_init), k_max=int(k_max), k_min=int(k_min),
+        n_replicates=int(n_replicates), tol=float(tol), cv_tol=float(cv_tol),
+        maxit=int(maxit), L1=float(L1), L2=float(L2),
+        inv_density=int(inv_density), learning_rate=float(learning_rate),
+        tol_overfit=float(tol_overfit), trace_test_mse=int(trace_test_mse),
+        seed=int(seed)) if ckpt else None
+    # (max_fits is deliberately NOT fingerprinted: resuming a valve-stopped
+    # search with a larger max_fits is a supported workflow)
+
     rows = []
     n_fits = 0
-    for curr_rep in range(1, n_replicates + 1):
+    start_rep, resume_inner = 1, None
+    if ckpt is not None:
+        st = ckpt.restore(ckpt_cfg, verbose=verbose >= 1)
+        if st is not None:
+            rows = list(st["rows"])
+            n_fits = int(st["n_fits"])
+            start_rep = int(st["curr_rep"])
+            if st.get("in_rep"):
+                resume_inner = (float(st["step_size"]),
+                                int(st["curr_rank"]), int(st["this_k_max"]))
+
+    def _save_search(curr_rep, in_rep, step_size=1.0, curr_rank=0,
+                     this_k_max=0):
+        if ckpt is None:
+            return
+        ckpt.save(n_fits, dict(
+            ckpt_cfg, rows=rows, n_fits=int(n_fits), curr_rep=int(curr_rep),
+            in_rep=bool(in_rep), step_size=float(step_size),
+            curr_rank=int(curr_rank), this_k_max=int(this_k_max)))
+
+    for curr_rep in range(start_rep, n_replicates + 1):
         if verbose >= 1 and n_replicates > 1:
             print(f"\nREPLICATE {curr_rep}/{n_replicates}")
-        step_size = 1.0
-        curr_rank = int(k_init)
-        this_k_max = k_max
+        if resume_inner is not None:
+            step_size, curr_rank, this_k_max = resume_inner
+            resume_inner = None
+        else:
+            step_size = 1.0
+            curr_rank = int(k_init)
+            this_k_max = k_max
         while (step_size >= 1 and curr_rank <= this_k_max
                and curr_rank >= k_min and n_fits < max_fits):
             vprint(verbose, 1, f"k = {curr_rank} , rep = {curr_rep}")
@@ -405,9 +455,13 @@ def ard_nmf(
             )
             n_fits += 1
             overfit_score = res.score_overfit[-1]
+            # plain Python scalars: keeps the frame dtype identical between
+            # fresh and checkpoint-resumed (JSON round-tripped) searches
             for e, i, t in zip(res.test_mse, res.iter, res.tol):
-                rows.append(dict(k=curr_rank, rep=curr_rep, test_error=e,
-                                 iter=i, tol=t, overfit_score=overfit_score))
+                rows.append(dict(k=int(curr_rank), rep=int(curr_rep),
+                                 test_error=float(e), iter=int(i),
+                                 tol=float(t),
+                                 overfit_score=float(overfit_score)))
             vprint(verbose, 2, f"   test_error = {res.test_mse[-1]:.4e}")
             if overfit_score >= tol_overfit:
                 this_k_max = curr_rank
@@ -427,6 +481,8 @@ def ard_nmf(
                 # get_best_rank; step outward from it
                 curr_rank = best_rank + int(step_size)
                 step_size *= (1 + learning_rate)
+                _save_search(curr_rep, True, step_size, curr_rank,
+                             this_k_max)
                 continue
             rank_ind = kvals.index(best_rank)
             if rank_ind == len(kvals) - 1:
@@ -449,6 +505,13 @@ def ard_nmf(
                     curr_rank = best_rank - diff_lower // 2
                 else:
                     curr_rank = best_rank + diff_higher // 2
+            _save_search(curr_rep, True, step_size, curr_rank, this_k_max)
+        # replicate finished — unless the max_fits safety valve stopped it
+        # mid-search (then the in-rep state above must survive so a resume
+        # with a larger max_fits continues the walk)
+        if not (step_size >= 1 and curr_rank <= this_k_max
+                and curr_rank >= k_min and n_fits >= max_fits):
+            _save_search(curr_rep + 1, False)
 
     df = pd.DataFrame(rows)
     df.attrs["class"] = "cross_validate_nmf_data"

@@ -74,6 +74,37 @@ def test_ard_fit_resume_identical(rng, tmp_path):
     assert res.iter == full.iter
 
 
+def test_ard_search_resume_identical(rng, tmp_path):
+    """The ard_nmf SEARCH driver checkpoints its adaptive-walk state per
+    completed rank fit; a valve-stopped (or killed) search resumed with the
+    same arguments must reproduce the uninterrupted search's CV trace and
+    final model exactly (drivers.py ard_nmf checkpoint=)."""
+    from singlet_tpu.solvers.drivers import ard_nmf
+
+    A = _data(rng, genes=48, cells=64)
+    kw = dict(k_init=2, k_max=8, n_replicates=2, tol=0.0, cv_tol=0.0,
+              maxit=4, trace_test_mse=2, seed=11, verbose=0)
+    full = ard_nmf(A, **kw)
+
+    ckdir = str(tmp_path / "ard_search")
+    # interrupted: the max_fits valve stops the search after 3 fits with
+    # the walk state checkpointed mid-replicate
+    ard_nmf(A, max_fits=3, checkpoint=ckdir, **kw)
+    assert os.path.exists(ckdir) and os.listdir(ckdir)
+    # resumed with the full budget: must skip the 3 completed fits and
+    # continue to the identical end state
+    res = ard_nmf(A, checkpoint=ckdir, **kw)
+
+    assert res.k == full.k
+    np.testing.assert_array_equal(res.w, full.w)
+    np.testing.assert_array_equal(res.d, full.d)
+    np.testing.assert_array_equal(res.h, full.h)
+    for col in ("k", "rep", "test_error", "iter", "tol"):
+        np.testing.assert_array_equal(res.cv_data[col].to_numpy(),
+                                      full.cv_data[col].to_numpy())
+    assert res.cv_data.dtypes.equals(full.cv_data.dtypes)
+
+
 def test_metric_logging_jsonl(rng, tmp_path):
     A = _data(rng, genes=24, cells=32)
     path = str(tmp_path / "metrics.jsonl")
