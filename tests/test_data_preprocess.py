@@ -156,3 +156,39 @@ def test_experiment_var_features_path(rng):
     exp.run_nmf(k=3, features="var.features", verbose=0)
     model = exp.reductions["nmf"]
     assert model.w.shape[0] == 20   # fit restricted to the variable genes
+
+
+def test_bootstrap_expand_pbmc(pbmc3k):
+    """The 30k real-data operand construction (benchmarks/pbmc30k_ard.py):
+    column bootstrap + multinomial count resample must preserve per-cell
+    depth exactly, stay on the source cell's gene support, and be
+    seed-reproducible."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks.pbmc30k_ard import bootstrap_expand
+
+    C = sp.csc_matrix(pbmc3k.counts)
+    n_out = 300
+    rows, cols, vals, src = bootstrap_expand(C, n_out, seed=7)
+    M = sp.csc_matrix(
+        (vals.astype(np.int64),
+         (rows.astype(np.int64), cols.astype(np.int64))),
+        shape=(C.shape[0], n_out))
+    # per-cell depth == the sampled source cell's depth, exactly
+    np.testing.assert_array_equal(
+        np.asarray(M.sum(axis=0)).ravel(),
+        np.asarray(C.sum(axis=0)).ravel()[src])
+    # gene support is a subset of the source cell's support
+    for j in (0, 3, n_out - 1):
+        s = src[j]
+        sup_src = set(C.indices[C.indptr[s]:C.indptr[s + 1]])
+        sup_new = set(M.indices[M.indptr[j]:M.indptr[j + 1]])
+        assert sup_new <= sup_src
+    # seeded determinism
+    r2, c2, v2, s2 = bootstrap_expand(C, n_out, seed=7)
+    np.testing.assert_array_equal(rows, r2)
+    np.testing.assert_array_equal(vals, v2)
+    np.testing.assert_array_equal(src, s2)
