@@ -294,20 +294,54 @@ def _bits_tile(w_ref, g):
     return ((w_ref[:, :] >> s) & jnp.uint32(1)).astype(jnp.int32)
 
 
-def _mpw_bits_kernel(wt_ref, P_ref, s_ref, out_ref, acc_ref, *,
+_CAST_I8_DIRECT = os.environ.get("SINGLET_TPU_I8_DIRECT", "0") == "1"
+
+
+def _to_i8(m32):
+    """0/1 int32 -> int8 MXU operand. The f32 hop is the conservative
+    Mosaic-supported chain; the direct i32->i8 cast is env-gated for
+    measurement (relayout cost differs by generation)."""
+    if _CAST_I8_DIRECT:
+        return m32.astype(jnp.int8)
+    return m32.astype(jnp.float32).astype(jnp.int8)
+
+
+def _mpw_bits_kernel(wt_ref, P_ref, s_ref, out_ref, acc_ref, m_ref, *,
                      n_gb: int, int8_path: bool):
-    """packed_t[p, c] = sum_g mask(c, g) P[g, p]; int32 (int8 path) or f32
-    (bf16 path) accumulation in scratch, dequantized row-scaled write on
-    the last gene block."""
-    g = pl.program_id(1)
-    m32 = _bits_tile(wt_ref, g)                       # (gene_block, bc)
+    """packed_t[p, c] = sum_g mask(c, g) P[g, p] for pair-axis chunk
+    ``pc`` and cell sub-block ``i``; int32 (int8 path) or f32 (bf16 path)
+    accumulation in scratch, dequantized row-scaled write on the last
+    gene block. The pair-axis grid dim exists so ``bc`` can be LARGE
+    (2048) within VMEM: the P operand (84 MB int8 at k=100/16k genes)
+    streams once per cell sub-block, so doubling bc halves the kernel's
+    dominant HBM traffic (43 -> 21.5 GB/pass at the 524k config).
+    ``m_ref`` (if not None) caches the unpacked mask tiles of ALL gene
+    blocks for the current cell sub-block, so the bit-unpack VPU work
+    runs once per (cell, gene) instead of once per pair chunk."""
+    p = pl.program_id(1)
+    g = pl.program_id(2)
+
+    def unpack():
+        m32 = _bits_tile(wt_ref, g)                   # (gene_block, bc)
+        if int8_path:
+            return _to_i8(m32)
+        return m32.astype(jnp.float32).astype(jnp.bfloat16)
+
+    if m_ref is None:
+        m = unpack()
+    else:
+        gb = m_ref.shape[0] // n_gb
+
+        @pl.when(p == 0)
+        def _():
+            m_ref[pl.ds(g * gb, gb), :] = unpack()
+
+        m = m_ref[pl.ds(g * gb, gb), :]
     if int8_path:
-        m = m32.astype(jnp.float32).astype(jnp.int8)
-        part = jax.lax.dot_general(P_ref[0], m, (((0,), (0,)), ((), ())),
+        part = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
     else:
-        m = m32.astype(jnp.float32).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(P_ref[0], m, (((0,), (0,)), ((), ())),
+        part = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
     @pl.when(g == 0)
@@ -327,31 +361,75 @@ def _mpw_bits_kernel(wt_ref, P_ref, s_ref, out_ref, acc_ref, *,
 
 
 def _mph_bits_kernel(w_ref, P_ref, s_ref, acc_in_ref, out_ref, *,
-                     int8_path: bool):
-    """out[p, g_block] = acc[...] + dequant(sum_c mask(c, g) P[c, p]);
-    ``acc_in_ref`` aliases the output (in-place carry update) and is READ
-    on the first cell sub-block — see :func:`_mph_kernel` on why the
-    aliased content must come from the input ref, not the output window."""
-    g = pl.program_id(0)
+                     int8_path: bool, spb: int, ng: int, gene_block: int):
+    """See the no-alias twin below; this variant reads the aliased carry."""
+    _mph_bits_body(w_ref, P_ref, s_ref, acc_in_ref, out_ref,
+                   int8_path=int8_path, spb=spb, ng=ng,
+                   gene_block=gene_block)
+
+
+def _mph_bits_kernel_noacc(w_ref, P_ref, s_ref, out_ref, *,
+                           int8_path: bool, spb: int, ng: int,
+                           gene_block: int):
+    """Fresh-output twin: the caller adds the carry in XLA afterwards."""
+    _mph_bits_body(w_ref, P_ref, s_ref, None, out_ref,
+                   int8_path=int8_path, spb=spb, ng=ng,
+                   gene_block=gene_block)
+
+
+def _mph_bits_body(w_ref, P_ref, s_ref, acc_in_ref, out_ref, *,
+                   int8_path: bool, spb: int, ng: int, gene_block: int):
+    """out[p, slab] = acc[...] + dequant(sum_c mask(c, g) P[c, p]) for the
+    ``ng`` gene blocks of slab ``s``; ``acc_in_ref`` aliases the output
+    (in-place carry update) and is READ on the first cell sub-block — see
+    :func:`_mph_kernel` on why the aliased content must come from the
+    input ref, not the output window.
+
+    The slab (ng > 1) exists to cut the kernel's dominant HBM traffic:
+    the P operand re-streams once per OUTPUT WINDOW pass over the cells
+    (86 GB/pass at 524k/k=100 with per-gene-block windows), so widening
+    the resident window to ng gene blocks divides it by ng. The word
+    tile covers a whole 32-plane word group; slabs must not straddle one
+    (the caller keeps ng | 32).
+
+    ``s_ref`` holds ALL quantization groups' scales (np_pad, n_scales) —
+    a Mosaic-legal lane-1 block slice does not exist for n_scales > 1 —
+    and sub-block ``i`` selects its group's column (i // spb) with a
+    one-hot reduction (tiny: np_pad x n_scales VPU elements)."""
+    s_id = pl.program_id(0)
     i = pl.program_id(1)
-    m32 = _bits_tile(w_ref, g)                        # (bc, gene_block)
     if int8_path:
-        m = m32.astype(jnp.float32).astype(jnp.int8)
-        part = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-        d = part.astype(jnp.float32) * s_ref[:, :]
-    else:
-        m = m32.astype(jnp.float32).astype(jnp.bfloat16)
-        d = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        n_scales = s_ref.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_scales), 1)
+        onehot = jnp.where(col == i // spb, jnp.ones((), jnp.float32),
+                           jnp.zeros((), jnp.float32))
+        s = jnp.sum(s_ref[:, :] * onehot, axis=1, keepdims=True)
+    for j in range(ng):
+        g = s_id * ng + j
+        m32 = _bits_tile(w_ref, g)                    # (bc, gene_block)
+        if int8_path:
+            m = _to_i8(m32)
+            part = jax.lax.dot_general(P_ref[:, :], m,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+            d = part.astype(jnp.float32) * s
+        else:
+            m = m32.astype(jnp.float32).astype(jnp.bfloat16)
+            d = jax.lax.dot_general(P_ref[:, :], m,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        sl = slice(j * gene_block, (j + 1) * gene_block)
 
-    @pl.when(i == 0)
-    def _():
-        out_ref[:, :] = acc_in_ref[:, :] + d
+        @pl.when(i == 0)
+        def _():
+            if acc_in_ref is None:
+                out_ref[:, sl] = d
+            else:
+                out_ref[:, sl] = acc_in_ref[:, sl] + d
 
-    @pl.when(i > 0)
-    def _():
-        out_ref[:, :] = out_ref[:, :] + d
+        @pl.when(i > 0)
+        def _():
+            out_ref[:, sl] = out_ref[:, sl] + d
 
 
 @functools.partial(jax.jit, static_argnames=("gene_block", "interpret"))
@@ -365,77 +443,157 @@ def mask_packed_w_t_bits(P_op, scales, words_t, *, gene_block: int,
     genes_pad, np_pad = P_op.shape
     block = words_t.shape[1]
     int8_path = P_op.dtype == jnp.int8
-    bc = _sub_block(block)
     n_gb = genes_pad // gene_block
-    P_op = P_op.reshape(n_gb, gene_block, np_pad)
     scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
     esz = 1 if int8_path else 2
-    # P blocks (double-buffered) + out (double-buffered f32) + the int32/f32
-    # accumulator scratch + word tiles and their shift temps + slack
-    vmem = min(2 * esz * gene_block * np_pad + 3 * 4 * np_pad * bc
-               + 4 * np_pad * bc + 2 * 4 * gene_block * bc + (20 << 20),
-               128 << 20)
+    # Geometry: bc as large as VMEM allows (the P operand streams once per
+    # cell sub-block — bc sets its re-read factor); the pair axis splits
+    # into np_half chunks so the (np_half, bc) out + scratch windows fit.
+    bc = block
+    while bc > 2048 or block % bc:
+        bc //= 2
+    bc = max(bc, 8)
+    np_half, np_split = np_pad, 1
+    mcache_b = esz * genes_pad * bc                        # unpacked-mask cache
+
+    def _budget(nph, bcc):
+        return (3 * 4 * nph * bcc + 4 * nph * bcc          # out dbl + acc
+                + 2 * esz * gene_block * nph               # P dbl
+                + 2 * 4 * gene_block * bcc                 # words dbl
+                + 12 * gene_block * bcc)                   # unpack temps
+
+    while (_budget(np_half, bc) > (100 << 20) - (mcache_b if np_half > 256
+                                                 else 0)
+           and np_half % 256 == 0):
+        np_half //= 2
+        np_split *= 2
+    while _budget(np_half, bc) > (100 << 20) and bc > 1024:
+        bc //= 2
+    # the mask-tile cache measured SLOWER on v5e (scratch re-reads + VMEM
+    # pressure beat the saved re-unpack); keep the machinery env-gated for
+    # other topologies
+    use_mcache = (os.environ.get("SINGLET_TPU_MPW_MCACHE", "0") == "1"
+                  and np_split > 1
+                  and _budget(np_half, bc) + mcache_b <= (100 << 20))
+    vmem = min(_budget(np_half, bc) + (mcache_b if use_mcache else 0)
+               + (20 << 20), 128 << 20)
+    kernel = functools.partial(_mpw_bits_kernel, n_gb=n_gb,
+                               int8_path=int8_path)
+    if not use_mcache:
+        def kernel(wt, P, s, out, acc, _k=None):      # noqa: F811
+            _mpw_bits_kernel(wt, P, s, out, acc, None, n_gb=n_gb,
+                             int8_path=int8_path)
+    scratch = [pltpu.VMEM((np_half, bc),
+                          jnp.int32 if int8_path else jnp.float32)]
+    if use_mcache:
+        scratch.append(pltpu.VMEM(
+            (genes_pad, bc), jnp.int8 if int8_path else jnp.bfloat16))
     return pl.pallas_call(
-        functools.partial(_mpw_bits_kernel, n_gb=n_gb, int8_path=int8_path),
-        grid=(block // bc, n_gb),
+        kernel,
+        grid=(block // bc, np_split, n_gb),
         in_specs=[
-            pl.BlockSpec((gene_block, bc), lambda i, g: (g // 32, i),
+            pl.BlockSpec((gene_block, bc), lambda i, p, g: (g // 32, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gene_block, np_pad), lambda i, g: (g, 0, 0),
+            pl.BlockSpec((gene_block, np_half), lambda i, p, g: (g, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_pad, 1), lambda i, g: (0, 0),
+            pl.BlockSpec((np_half, 1), lambda i, p, g: (p, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((np_pad, bc), lambda i, g: (0, i),
+        out_specs=pl.BlockSpec((np_half, bc), lambda i, p, g: (p, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_pad, block), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(
-            (np_pad, bc), jnp.int32 if int8_path else jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem),
         interpret=interpret,
     )(words_t, P_op, scales2)
 
 
-@functools.partial(jax.jit, static_argnames=("gene_block", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "gene_block", "scale_block", "interpret"))
 def mask_packed_h_t_bits(P_op, scales, words, acc, *, gene_block: int,
+                         scale_block: int | None = None,
                          interpret: bool = False):
     """acc (np_pad, genes_pad) f32 += dequant((mask^T @ P)^T), mask from
     bitplane words; ``acc`` donated and updated in place. P_op: (block,
     np_pad) int8 (+ ``scales``) or bf16; words: (block, n_t * gene_block)
-    u32 — the natural packed layout, sliced to this cell block."""
+    u32 — the natural packed layout, sliced to this cell block.
+
+    ``scale_block`` (divides ``block``; default = ``block``) lets the
+    caller BATCH independently int8-quantized cell blocks into ONE call:
+    ``scales`` is then (np_pad, block // scale_block) — one column per
+    quantization group — and each cell sub-block dequantizes against its
+    group's column (the int32 partials never cross a group boundary: the
+    grid sub-block size divides ``scale_block``). Batching is what makes
+    the engine's grouped carry flush exact AND cheap: the (np_pad,
+    genes_pad) carry (335 MB at the 524k config) crosses HBM once per
+    GROUP instead of once per 2048-cell block."""
     block, np_pad = P_op.shape
     genes_pad = acc.shape[1]
     int8_path = P_op.dtype == jnp.int8
-    bc = _sub_block(block)
+    if scale_block is None:
+        scale_block = block
+    assert block % scale_block == 0
+    n_scales = block // scale_block
+    bc = min(_sub_block(block), _sub_block(scale_block))
+    spb = scale_block // bc
     n_gb = genes_pad // gene_block
-    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
+    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, n_scales)
     esz = 1 if int8_path else 2
-    # P blocks + out AND aliased acc input (each double-buffered f32) +
-    # the int32 part / dequant temps + word tiles + slack
-    vmem = min(2 * esz * bc * np_pad + 4 * 4 * np_pad * gene_block
-               + 2 * 4 * np_pad * gene_block + 2 * 4 * gene_block * bc
-               + (20 << 20), 128 << 20)
-    return pl.pallas_call(
-        functools.partial(_mph_bits_kernel, int8_path=int8_path),
-        grid=(n_gb, block // bc),
-        in_specs=[
-            pl.BlockSpec((bc, gene_block), lambda g, i: (i, g // 32),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, np_pad), lambda g, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_pad, 1), lambda g, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_pad, gene_block), lambda g, i: (0, g),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((np_pad, gene_block), lambda g, i: (0, g),
+
+    def _budget(ngg, bcc):
+        return (2 * esz * bcc * np_pad                  # P dbl
+                + 4 * np_pad * ngg * gene_block         # out (revisited)
+                + 2 * 4 * np_pad * ngg * gene_block     # acc input dbl
+                + 2 * 4 * np_pad * gene_block           # part/dequant temps
+                + 2 * 4 * gene_block * bcc)             # word tiles
+
+    # Slab width: the P operand re-streams once per output-window pass
+    # over the cells (n_gb / ng passes), so take the widest ng | 32 that
+    # divides n_gb and fits VMEM (ng=4 cuts 86 -> 21.5 GB/pass at 524k).
+    ng = 1
+    for cand in (2, 4, 8):
+        if n_gb % cand == 0 and 32 % cand == 0 and \
+                _budget(cand, bc) <= (105 << 20):
+            ng = cand
+    # Mosaic's stack accounting measured ~18M above the analytic sum at
+    # the 524k geometry (116.2M vs 98.5M); leave that headroom inside the
+    # 128M physical VMEM
+    vmem = min(_budget(ng, bc) + (25 << 20), 127 << 20)
+    in_specs = [
+        pl.BlockSpec((bc, gene_block),
+                     lambda s, i: (i, (s * ng) // 32),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bc, np_pad), lambda s, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((np_pad, n_scales), lambda s, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    acc_spec = pl.BlockSpec((np_pad, ng * gene_block), lambda s, i: (0, s),
+                            memory_space=pltpu.VMEM)
+    common = dict(
+        grid=(n_gb // ng, block // bc),
+        out_specs=pl.BlockSpec((np_pad, ng * gene_block),
+                               lambda s, i: (0, s),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_pad, genes_pad), jnp.float32),
-        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem),
         interpret=interpret,
+    )
+    if os.environ.get("SINGLET_TPU_MPH_NOALIAS", "0") == "1":
+        prod = pl.pallas_call(
+            functools.partial(_mph_bits_kernel_noacc, int8_path=int8_path,
+                              spb=spb, ng=ng, gene_block=gene_block),
+            in_specs=in_specs, **common,
+        )(words, P_op, scales2)
+        return acc + prod
+    return pl.pallas_call(
+        functools.partial(_mph_bits_kernel, int8_path=int8_path, spb=spb,
+                          ng=ng, gene_block=gene_block),
+        in_specs=in_specs + [acc_spec],
+        input_output_aliases={3: 0},
+        **common,
     )(words, P_op, scales2, acc)

@@ -913,73 +913,116 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
         # as 1/d per column, the packed H Gram corrections as 1/(d_i d_j)
         # per pair. Ph is built per block — materializing
         # (cells_local, npairs) would be 10s of GB at scale.
-        def blk(carry, bi):
-            Bw, Pk_t, Hsum, Hgram = carry
-            start = bi * mblock
-            ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
-                                               mblock)
-            li = _slice_planes(b_li, start, mblock)
-            lv = _slice_planes(b_val, start, mblock)
-            wt_blk = None
-            if mode in ("int8", "bf16"):
-                wt_blk = _slice2(words, start, mblock).T
-            B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=wt_blk)
-            if mode in ("int8", "bf16"):
-                from singlet_tpu.ops.pallas_maskgram import \
-                    mask_packed_w_t_bits
+        carry0 = (jnp.zeros((genes_pad, k), W.dtype),
+                  jnp.zeros((np_pad, genes_pad), W.dtype),
+                  jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
+        n_blk = cells_local // mblock
 
+        if mode in ("int8", "bf16"):
+            # Bits path: the w-side packed product is flushed into the
+            # (np_pad, genes_pad) carry once per GROUP of blocks, not once
+            # per block — the carry is 335 MB at the 524k config, and a
+            # per-block in-place update crosses HBM 2x per 2048 cells
+            # (~170 GB/pass, ~0.21 s of pure carry DMA measured round 5).
+            # The inner scan instead stacks each block's int8-quantized
+            # packed outer products (+ per-block scales), and ONE batched
+            # kernel call per group contracts them all (scale_block routes
+            # each cell sub-block to its own dequant column — the math is
+            # bit-identical to the per-block flush).
+            from singlet_tpu.ops.pallas_maskgram import (
+                mask_packed_h_t_bits, mask_packed_w_t_bits, quantize_pairs)
+
+            F = max(d for d in range(1, min(n_blk, 16) + 1)
+                    if n_blk % d == 0)
+
+            def blk_q(carry, bi):
+                Bw, Hsum, Hgram = carry
+                start = bi * mblock
+                ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
+                                                   mblock)
+                li = _slice_planes(b_li, start, mblock)
+                lv = _slice_planes(b_val, start, mblock)
+                wt_blk = _slice2(words, start, mblock).T
+                B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=wt_blk)
                 packed_t = mask_packed_w_t_bits(
                     Pw_op, Pw_s, wt_blk, gene_block=gene_block)
-            elif mode == "hash":
-                from singlet_tpu.ops.pallas_maskgram import mask_packed_w_t
-
-                packed_t = mask_packed_w_t(
-                    Pw_op, seed, ids, gene_block=gene_block,
-                    inv_density=inv_density, cells_true=cells_true,
-                    genes_true=genes_true)
-            else:
-                m = _mask_of(ids).astype(W.dtype)
-                packed_t = mask_dot_t(Pw_op, m, 1)
-            Y0 = _slice2(H_loc, start, mblock)
-            ne = _slice2(ne_loc, start, mblock)
-            Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
-                                     L1=L1_h, L2=L2_h,
-                                     update_mask=ne, n_coord=n_coord,
-                                     sweep_cap=sweep_cap)
-            Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids, wt=wt_blk)
-            Ph_b = packed_outer_products(Hb, iu_pad)     # (blk, np_pad)
-            if mode in ("int8", "bf16"):
-                from singlet_tpu.ops.pallas_maskgram import (
-                    mask_packed_h_t_bits, quantize_pairs)
-
+                Y0 = _slice2(H_loc, start, mblock)
+                ne = _slice2(ne_loc, start, mblock)
+                Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
+                                         L1=L1_h, L2=L2_h,
+                                         update_mask=ne, n_coord=n_coord,
+                                         sweep_cap=sweep_cap)
+                Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids,
+                                   wt=wt_blk)
+                Ph_b = packed_outer_products(Hb, iu_pad)  # (blk, np_pad)
                 if mode == "int8":
                     Ph_op, Ph_s = quantize_pairs(Ph_b, axis=0)
                 else:
                     Ph_op = Ph_b.astype(jnp.bfloat16)
                     Ph_s = jnp.ones((np_pad,), jnp.float32)
-                w_blk = _slice2(words, start, mblock)
+                Hsum = Hsum + jnp.sum(Hb, axis=0)
+                Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
+                return (Bw, Hsum, Hgram), (Hb, Ph_op, Ph_s)
+
+            def grp(carry, gi):
+                Bw, Pk_t, Hsum, Hgram = carry
+                (Bw, Hsum, Hgram), (Hbs, Ph_ops, Ph_ss) = jax.lax.scan(
+                    blk_q, (Bw, Hsum, Hgram), gi * F + jnp.arange(F))
+                w_grp = _slice2(words, gi * (F * mblock), F * mblock)
                 # in-place accumulation: the kernel adds into the donated
-                # carry (335 MB at the 524k config) — no temp + XLA add
+                # carry — no temp + XLA add
                 Pk_t = mask_packed_h_t_bits(
-                    Ph_op, Ph_s, w_blk, Pk_t, gene_block=gene_block)
-            elif mode == "hash":
-                from singlet_tpu.ops.pallas_maskgram import mask_packed_h_t
+                    Ph_ops.reshape(F * mblock, np_pad), Ph_ss.T, w_grp,
+                    Pk_t, gene_block=gene_block, scale_block=mblock)
+                return (Bw, Pk_t, Hsum, Hgram), Hbs
 
-                Pk_t = mask_packed_h_t(
-                    Ph_b, seed, ids, Pk_t, gene_block=gene_block,
-                    inv_density=inv_density,
-                    cells_true=cells_true, genes_true=genes_true)
-            else:
-                Pk_t = Pk_t + mask_dot_t(Ph_b, m, 0)
-            Hsum = Hsum + jnp.sum(Hb, axis=0)
-            Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
-            return (Bw, Pk_t, Hsum, Hgram), Hb
+            (Bw, Pk_t, Hsum, Hgram), Hs = jax.lax.scan(
+                grp, carry0, jnp.arange(n_blk // F))
+        else:
+            def blk(carry, bi):
+                Bw, Pk_t, Hsum, Hgram = carry
+                start = bi * mblock
+                ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
+                                                   mblock)
+                li = _slice_planes(b_li, start, mblock)
+                lv = _slice_planes(b_val, start, mblock)
+                B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=None)
+                if mode == "hash":
+                    from singlet_tpu.ops.pallas_maskgram import \
+                        mask_packed_w_t
 
-        carry0 = (jnp.zeros((genes_pad, k), W.dtype),
-                  jnp.zeros((np_pad, genes_pad), W.dtype),
-                  jnp.zeros((k,), W.dtype), jnp.zeros((k, k), W.dtype))
-        (Bw, Pk_t, Hsum, Hgram), Hs = jax.lax.scan(
-            blk, carry0, jnp.arange(cells_local // mblock))
+                    packed_t = mask_packed_w_t(
+                        Pw_op, seed, ids, gene_block=gene_block,
+                        inv_density=inv_density, cells_true=cells_true,
+                        genes_true=genes_true)
+                else:
+                    m = _mask_of(ids).astype(W.dtype)
+                    packed_t = mask_dot_t(Pw_op, m, 1)
+                Y0 = _slice2(H_loc, start, mblock)
+                ne = _slice2(ne_loc, start, mblock)
+                Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
+                                         L1=L1_h, L2=L2_h,
+                                         update_mask=ne, n_coord=n_coord,
+                                         sweep_cap=sweep_cap)
+                Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids,
+                                   wt=None)
+                Ph_b = packed_outer_products(Hb, iu_pad)  # (blk, np_pad)
+                if mode == "hash":
+                    from singlet_tpu.ops.pallas_maskgram import \
+                        mask_packed_h_t
+
+                    Pk_t = mask_packed_h_t(
+                        Ph_b, seed, ids, Pk_t, gene_block=gene_block,
+                        inv_density=inv_density,
+                        cells_true=cells_true, genes_true=genes_true)
+                else:
+                    Pk_t = Pk_t + mask_dot_t(Ph_b, m, 0)
+                Hsum = Hsum + jnp.sum(Hb, axis=0)
+                Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
+                return (Bw, Pk_t, Hsum, Hgram), Hb
+
+            (Bw, Pk_t, Hsum, Hgram), Hs = jax.lax.scan(
+                blk, carry0, jnp.arange(n_blk))
         d = jax.lax.psum(Hsum, AXIS) + 1e-15
         H_new = Hs.reshape(cells_local, k) / d[None, :]
         a_h = jax.lax.psum(Hgram, AXIS) / (d[:, None] * d[None, :])
