@@ -122,8 +122,19 @@ def main():
     ship_s = time.perf_counter() - t0
     print(f"device densify+normalize {ship_s:.1f} s", flush=True)
 
-    cb = pick_block(args.cells, 2048)
-    gb = pick_block(genes_pad, 4096)
+    def div_block(n: int, target: int, quantum: int = 256) -> int:
+        """Largest quantum-multiple block <= target that DIVIDES n (the
+        masked half-update asserts cols_pad % block == 0; pick_block
+        alone returns the bare target for large axes — fine for the
+        providers make_dense_providers builds, which pad the axis up,
+        but this script pads genes only to a 256 quantum)."""
+        b = min(target, n)
+        while b > quantum and n % b:
+            b -= quantum
+        return b
+
+    cb = div_block(args.cells, 2048)
+    gb = div_block(genes_pad, 4096)
     Ap = DenseMatrix(data=A, nonempty=jnp.any(A != 0, axis=0),
                      rows_true=genes, cols_true=args.cells,
                      cols_are_cells=True, block=cb)

@@ -140,6 +140,98 @@ def main():
         acc, _ = jax.lax.scan(blk, jnp.zeros(()), jnp.arange(n_blocks))
         return acc
 
+
+    def make_floor4_call(block, bc=1024):
+        """Merged single-stream B-kernel prototype: ONE int8 operand
+        (P ++ byte-plane mask columns); mask plane j contiguous at
+        [np_pad + j*gene_block, +gene_block), bit r = g % 8; unpack is
+        int8-native (shift+and, NO cast chain)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n_gb = genes // gene_block
+
+        def kern(F_ref, out_ref):
+            g = pl.program_id(0)
+            j = (g % 32) // 8
+            r = g % 8
+            P = F_ref[:, :np_pad]
+            # static 4-way select of the byte plane, shift in int8 domain
+            planes = [F_ref[:, np_pad + jj * gene_block:
+                            np_pad + (jj + 1) * gene_block]
+                      for jj in range(4)]
+            wb = jax.lax.switch(j, [lambda a=a: a for a in planes])
+            mb = (jnp.int32(1) << r).astype(jnp.int8)
+            m = jnp.where((wb & mb) != jnp.int8(0), jnp.int8(1),
+                          jnp.int8(0))
+            part = jax.lax.dot_general(
+                P, m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            i = pl.program_id(1)
+
+            @pl.when(i == 0)
+            def _():
+                out_ref[:, :] = part.astype(jnp.float32)
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[:, :] = out_ref[:, :] + part.astype(jnp.float32)
+
+        return pl.pallas_call(
+            kern, grid=(n_gb, block // bc),
+            in_specs=[
+                pl.BlockSpec((bc, np_pad + 4 * gene_block),
+                             lambda g, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((np_pad, gene_block),
+                                   lambda g, i: (0, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_pad, genes), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 << 20))
+
+
+    def make_floor5_call(block, bc=1024):
+        """B-kernel reading a PREBUILT int8 mask (no in-kernel unpack):
+        tests whether a shared once-per-group unpack buffer removes the
+        mask-materialization cost from the product kernels."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n_gb = genes // gene_block
+
+        def kern(m_ref, P_ref, out_ref):
+            i = pl.program_id(1)
+            part = jax.lax.dot_general(
+                P_ref[:, :], m_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+            @pl.when(i == 0)
+            def _():
+                out_ref[:, :] = part.astype(jnp.float32)
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[:, :] = out_ref[:, :] + part.astype(jnp.float32)
+
+        return pl.pallas_call(
+            kern, grid=(n_gb, block // bc),
+            in_specs=[
+                pl.BlockSpec((1, bc, gene_block), lambda g, i: (g, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, np_pad), lambda g, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((np_pad, gene_block),
+                                   lambda g, i: (0, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_pad, genes), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 << 20))
+
     def make_dot_floor2_call(block, bc=1024, shift_mode="dynamic",
                              semantics=("arbitrary", "arbitrary")):
         """Floor + the REAL words input stream and bit-unpack: isolates
@@ -230,7 +322,7 @@ def main():
     out = {"metric": "probe_grpflush", "cells": cells, "k": k,
            "block": mblock, "group": F}
     what = os.environ.get("PROBE_WHAT", "all")
-    if what in ("floor", "floor2"):
+    if what in ("floor", "floor2", "floor4", "floor5"):
         chunk = 65536
         reps = cells // chunk
         Pq_c = quantize_pairs(
@@ -252,6 +344,38 @@ def main():
         if what == "floor":
             out["h_dot_floor_s"] = round(
                 run(make_dot_floor_call(chunk), False), 3)
+        elif what == "floor5":
+            from singlet_tpu.ops.maskbits import unpack_mask_bits
+            n_gb = genes // gene_block
+            m8 = unpack_mask_bits(w_c, gene_block=gene_block)  # (c, genes) i8
+            m83 = m8.reshape(chunk, n_gb, gene_block).transpose(1, 0, 2)
+            call5 = make_floor5_call(chunk)
+
+            @jax.jit
+            def f5(m83, Pq):
+                def body(acc, _):
+                    r = call5(m83, Pq + acc.astype(jnp.int8))
+                    return acc + r[0, 0] + r[-1, -1], None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), None,
+                                      length=reps)
+                return acc
+            out["h_floor5_s"] = round(timed(f5, m83, Pq_c), 3)
+        elif what == "floor4":
+            # byte-plane repack of words (once; plane-major contiguous)
+            wb = jax.lax.bitcast_convert_type(w_c, jnp.int8)  # (c, 512, 4)
+            wb = wb.transpose(0, 2, 1).reshape(chunk, 4 * gene_block)
+            Fq = jnp.concatenate([Pq_c, wb], axis=1)
+            call4 = make_floor4_call(chunk)
+
+            @jax.jit
+            def f4(F):
+                def body(acc, _):
+                    r = call4(F + acc.astype(jnp.int8))
+                    return acc + r[0, 0] + r[-1, -1], None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), None,
+                                      length=reps)
+                return acc
+            out["h_floor4_s"] = round(timed(f4, Fq), 3)
         else:
             out["h_floor2_dyn_s"] = round(
                 run(make_dot_floor2_call(chunk), True), 3)

@@ -370,6 +370,65 @@ def kernels():
             lambda c, bi: blk(c, bi), carry0, jnp.arange(n_blocks))
         return acc
 
+    # --- bits keep-mask bELL SpMMs (the PRODUCTION masked-spmm path since
+    # commit 3554770; the hash rows above are the non-default fallback) ---
+    from singlet_tpu.ops.pallas_bell import bell_spmm_bits, bell_spmm_t_bits
+
+    @jax.jit
+    def spmm_b_bits(words_t, b_li, b_val, W):
+        def blk(acc, bi):
+            li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
+            wt = jax.lax.dynamic_slice_in_dim(
+                words_t, bi * cell_block + acc.astype(jnp.int32) % 1,
+                cell_block, 1)
+            B = bell_spmm_bits(li, lv, W, wt, gene_block=gene_block,
+                               precision=MM_PRECISION)
+            return acc + B[0, 0] + B[-1, -1]
+        return scan_blocks(blk)
+
+    @jax.jit
+    def spmm_bw_bits(words_t, b_li, b_val, H):
+        def blk(acc, bi):
+            li, lv = slice_planes(b_li, bi), slice_planes(b_val, bi)
+            Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
+                                              cell_block, 0)
+            wt = jax.lax.dynamic_slice_in_dim(
+                words_t, bi * cell_block + acc.astype(jnp.int32) % 1,
+                cell_block, 1)
+            Bw = bell_spmm_t_bits(li, lv, Hb + acc * 1e-30, wt,
+                                  gene_block=gene_block, n_gb=n_gb,
+                                  precision=MM_PRECISION)
+            return acc + Bw[0, 0] + Bw[-1, -1]
+        return scan_blocks(blk)
+
+    # --- round-5 grouped w-side flush (the production h_t path: int8
+    # emission per block, ONE batched carry flush per 16 blocks) ---
+    @jax.jit
+    def mph_bits_grouped(words, H):
+        F = 16 if n_blocks % 16 == 0 else 1
+
+        def inner(acc, bi):
+            Hb = jax.lax.dynamic_slice_in_dim(H, bi * cell_block,
+                                              cell_block, 0)
+            Ph = packed_outer_products(Hb + acc * 1e-30, iu_pad)
+            q, s = quantize_pairs(Ph, axis=0)
+            return acc + q[0, 0].astype(jnp.float32) * 1e-30, (q, s)
+
+        def grp(carry, gi):
+            acc, pk_t = carry
+            acc, (qs, ss) = jax.lax.scan(inner, acc,
+                                         gi * F + jnp.arange(F))
+            w_grp = jax.lax.dynamic_slice_in_dim(
+                words, gi * (F * cell_block), F * cell_block, 0)
+            pk_t = mask_packed_h_t_bits(
+                qs.reshape(F * cell_block, np_pad), ss.T, w_grp, pk_t,
+                gene_block=gene_block, scale_block=cell_block)
+            return (acc + pk_t[0, 0] + pk_t[-1, -1], pk_t), None
+        carry0 = (jnp.zeros(()), jnp.zeros((np_pad, genes), jnp.float32))
+        (acc, _), _ = jax.lax.scan(grp, carry0,
+                                   jnp.arange(n_blocks // 16))
+        return acc
+
     res = {"metric": "masked_kernels_per_pass", "cells": cells, "k": k}
     for name, fn, fa in [
         ("mask_packed_w_t_s", mpw, (seed, Pw)),
@@ -378,8 +437,12 @@ def kernels():
             pack_bits(s)[0][:, ::512].astype(jnp.float32)), (seed,)),
         ("mask_packed_w_t_bits_s", mpw_bits, (words_t, Pw_q, Pw_s)),
         ("mask_packed_h_t_bits_s", mph_bits, (words, H)),
-        ("bell_spmm_masked_s", spmm_b_masked, (seed, b_li, b_val, W)),
-        ("bell_spmm_t_masked_s", spmm_bw_masked, (seed, b_li, b_val, H)),
+        ("mask_packed_h_t_bits_grouped_s", mph_bits_grouped, (words, H)),
+        ("bell_spmm_masked_hash_s", spmm_b_masked, (seed, b_li, b_val, W)),
+        ("bell_spmm_t_masked_hash_s", spmm_bw_masked,
+         (seed, b_li, b_val, H)),
+        ("bell_spmm_bits_s", spmm_b_bits, (words_t, b_li, b_val, W)),
+        ("bell_spmm_t_bits_s", spmm_bw_bits, (words_t, b_li, b_val, H)),
         ("nnls_packed_t_cap32_s", nnls_packed_t32,
          (pk0, a_full, B0, X0)),
     ]:

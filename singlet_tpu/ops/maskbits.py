@@ -110,3 +110,49 @@ def unpack_all(words: jnp.ndarray, genes_pad: int,
     n_gb = genes_pad // gene_block
     cols = [unpack_gene_block(words, gb, gene_block) for gb in range(n_gb)]
     return jnp.concatenate(cols, axis=1)
+
+
+def _unpack8_kernel(w_ref, out_ref, *, n_gb: int, gene_block: int):
+    for g in range(n_gb):
+        t0 = (g // 32) * gene_block
+        w = w_ref[:, t0:t0 + gene_block]
+        m32 = ((w >> U32(g % 32)) & U32(1)).astype(jnp.int32)
+        m8 = m32.astype(jnp.float32).astype(jnp.int8)
+        out_ref[:, g * gene_block:(g + 1) * gene_block] = m8
+
+
+@partial(jax.jit, static_argnames=("gene_block", "genes_pad", "interpret"))
+def unpack_mask_bits(words: jnp.ndarray, *, gene_block: int,
+                     genes_pad: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Dense int8 0/1 TEST mask (cells, genes_pad) from packed words — the
+    ONCE-per-consumer-group unpack (round 5). The mask-materialization VPU
+    chain (shift, AND, i32->f32->i8 with its sublane relayout) measured
+    ~0.16 s per full 524k x 16k pass and EVERY masked product kernel paid it
+    independently; unpacking once into a transient int8 buffer and letting
+    the int8 MXU kernels read mask tiles DIRECTLY pays it once."""
+    cells, wcols = words.shape
+    n_t = wcols // gene_block
+    n_gb = (genes_pad // gene_block) if genes_pad else 32 * n_t
+    bc = min(1024, cells)
+    while cells % bc:
+        bc //= 2
+    bc = max(bc, 8)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    genes_pad = n_gb * gene_block
+    vmem = min(2 * 4 * bc * wcols + 3 * bc * genes_pad
+               + 16 * bc * gene_block + (16 << 20), 127 << 20)
+    return pl.pallas_call(
+        partial(_unpack8_kernel, n_gb=n_gb, gene_block=gene_block),
+        grid=(cells // bc,),
+        in_specs=[pl.BlockSpec((bc, wcols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bc, genes_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cells, genes_pad), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(words)

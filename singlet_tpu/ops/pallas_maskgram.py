@@ -306,58 +306,61 @@ def _to_i8(m32):
     return m32.astype(jnp.float32).astype(jnp.int8)
 
 
-def _mpw_bits_kernel(wt_ref, P_ref, s_ref, out_ref, acc_ref, m_ref, *,
-                     n_gb: int, int8_path: bool):
-    """packed_t[p, c] = sum_g mask(c, g) P[g, p] for pair-axis chunk
-    ``pc`` and cell sub-block ``i``; int32 (int8 path) or f32 (bf16 path)
-    accumulation in scratch, dequantized row-scaled write on the last
-    gene block. The pair-axis grid dim exists so ``bc`` can be LARGE
-    (2048) within VMEM: the P operand (84 MB int8 at k=100/16k genes)
-    streams once per cell sub-block, so doubling bc halves the kernel's
-    dominant HBM traffic (43 -> 21.5 GB/pass at the 524k config).
-    ``m_ref`` (if not None) caches the unpacked mask tiles of ALL gene
-    blocks for the current cell sub-block, so the bit-unpack VPU work
-    runs once per (cell, gene) instead of once per pair chunk."""
-    p = pl.program_id(1)
-    g = pl.program_id(2)
+def _mpw_bits_kernel(wt_ref, P_ref, s_ref, out_ref, m_ref, *,
+                     n_gb: int, gene_block: int, int8_path: bool):
+    """packed_t[pair chunk p, cells bc] = sum_g mask(c, g) P[g, pair] for
+    ONE (cell sub-block, pair chunk) grid step, with the gene-block loop
+    UNROLLED IN-BODY over a per-step-resident P chunk.
 
-    def unpack():
-        m32 = _bits_tile(wt_ref, g)                   # (gene_block, bc)
+    Round-5 finding (benchmarks/probe_grpflush.py): per-STEP operand
+    fetches carry ~5-10 us of non-overlapped latency on this platform —
+    a grid with one small step per (gene block, sub-block) pays ~2x its
+    compute floor regardless of bandwidth (pure-dot floor 0.157 s/pass
+    vs 0.33-0.39 measured). Fewer, bigger steps fix it: the grid is
+    (cell sub-blocks, pair chunks) only; each step fetches one 20+ MB P
+    chunk and runs n_gb dots, accumulating int32 (int8 path) / f32
+    (bf16) in a local value — no accumulator scratch, one dequantized
+    write. ``m_ref`` (when pair chunks > 1) caches the unpacked mask of
+    ALL gene blocks at p == 0 of each cell sub-block (pair chunks are
+    the FAST grid dim), so unpack VPU work stays once per (cell, gene)."""
+    p = pl.program_id(1)
+
+    def unpack(g):
+        m32 = _bits_tile_row(wt_ref, g, gene_block)   # (gene_block, bc)
         if int8_path:
             return _to_i8(m32)
         return m32.astype(jnp.float32).astype(jnp.bfloat16)
 
-    if m_ref is None:
-        m = unpack()
-    else:
-        gb = m_ref.shape[0] // n_gb
-
-        @pl.when(p == 0)
-        def _():
-            m_ref[pl.ds(g * gb, gb), :] = unpack()
-
-        m = m_ref[pl.ds(g * gb, gb), :]
-    if int8_path:
-        part = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-    else:
-        part = jax.lax.dot_general(P_ref[:, :], m, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    @pl.when(g == 0)
-    def _():
-        acc_ref[:, :] = part
-
-    @pl.when(g > 0)
-    def _():
-        acc_ref[:, :] = acc_ref[:, :] + part
-
-    @pl.when(g == n_gb - 1)
-    def _():
-        if int8_path:
-            out_ref[:, :] = acc_ref[:, :].astype(jnp.float32) * s_ref[:, :]
+    part = None
+    for g in range(n_gb):
+        if m_ref is None:
+            m = unpack(g)
         else:
-            out_ref[:, :] = acc_ref[:, :]
+            sl = slice(g * gene_block, (g + 1) * gene_block)
+
+            @pl.when(p == 0)
+            def _():
+                m_ref[sl, :] = unpack(g)
+
+            m = m_ref[sl, :]
+        Pg = P_ref[0, g * gene_block:(g + 1) * gene_block, :]
+        d = jax.lax.dot_general(
+            Pg, m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8_path else jnp.float32)
+        part = d if part is None else part + d
+    if int8_path:
+        out_ref[:, :] = part.astype(jnp.float32) * s_ref[:, :]
+    else:
+        out_ref[:, :] = part
+
+
+def _bits_tile_row(wt_ref, g: int, gene_block: int):
+    """Static-``g`` twin of :func:`_bits_tile` against a words tile that
+    stacks ALL word groups' rows: rows [(g // 32) * gene_block, ...) hold
+    gene block g's word group, bitplane g % 32."""
+    r0 = (g // 32) * gene_block
+    w = wt_ref[r0:r0 + gene_block, :]
+    return ((w >> jnp.uint32(g % 32)) & jnp.uint32(1)).astype(jnp.int32)
 
 
 def _mph_bits_kernel(w_ref, P_ref, s_ref, acc_in_ref, out_ref, *,
@@ -442,72 +445,236 @@ def mask_packed_w_t_bits(P_op, scales, words_t, *, gene_block: int,
     packed layout, sliced to this cell block by the caller."""
     genes_pad, np_pad = P_op.shape
     block = words_t.shape[1]
+    n_t = words_t.shape[0] // gene_block
     int8_path = P_op.dtype == jnp.int8
     n_gb = genes_pad // gene_block
-    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
     esz = 1 if int8_path else 2
-    # Geometry: bc as large as VMEM allows (the P operand streams once per
-    # cell sub-block — bc sets its re-read factor); the pair axis splits
-    # into np_half chunks so the (np_half, bc) out + scratch windows fit.
+    # Geometry (round 5): cell sub-blocks x pair chunks ONLY — the gene
+    # loop is in-body (see _mpw_bits_kernel). bc caps at 1024 so the
+    # unpacked-mask cache + one P chunk double-buffered fit VMEM; the
+    # pair axis splits until the P chunk does.
     bc = block
-    while bc > 2048 or block % bc:
+    while bc > 1024 or block % bc:
         bc //= 2
     bc = max(bc, 8)
     np_half, np_split = np_pad, 1
-    mcache_b = esz * genes_pad * bc                        # unpacked-mask cache
+    mcache_b = esz * genes_pad * bc                  # unpacked-mask cache
 
-    def _budget(nph, bcc):
-        return (3 * 4 * nph * bcc + 4 * nph * bcc          # out dbl + acc
-                + 2 * esz * gene_block * nph               # P dbl
-                + 2 * 4 * gene_block * bcc                 # words dbl
-                + 12 * gene_block * bcc)                   # unpack temps
+    def _budget(nph, bcc, cache):
+        return (2 * esz * genes_pad * nph              # P chunk dbl
+                + 3 * 4 * nph * bcc                    # out dbl + acc value
+                + (mcache_b if cache else 0)
+                + 2 * 4 * n_t * gene_block * bcc       # word tiles dbl
+                + 12 * gene_block * bcc)               # unpack temps
 
-    while (_budget(np_half, bc) > (100 << 20) - (mcache_b if np_half > 256
-                                                 else 0)
-           and np_half % 256 == 0):
+    while (_budget(np_half, bc, np_half < np_pad) > (88 << 20)
+           and np_half % 256 == 0 and np_half > 1024):
         np_half //= 2
         np_split *= 2
-    while _budget(np_half, bc) > (100 << 20) and bc > 1024:
-        bc //= 2
-    # the mask-tile cache measured SLOWER on v5e (scratch re-reads + VMEM
-    # pressure beat the saved re-unpack); keep the machinery env-gated for
-    # other topologies
-    use_mcache = (os.environ.get("SINGLET_TPU_MPW_MCACHE", "0") == "1"
-                  and np_split > 1
-                  and _budget(np_half, bc) + mcache_b <= (100 << 20))
-    vmem = min(_budget(np_half, bc) + (mcache_b if use_mcache else 0)
-               + (20 << 20), 128 << 20)
+    use_mcache = np_split > 1
+    vmem = min(_budget(np_half, bc, use_mcache) + (25 << 20), 127 << 20)
+    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
+    # pair chunks as a CONTIGUOUS leading axis: a (genes_pad, np_half)
+    # column slice of P would DMA 640-byte strided row segments; the
+    # one-time relayout (P is per-iteration-invariant across cell blocks)
+    # makes every chunk fetch a dense burst
+    P3 = P_op.reshape(genes_pad, np_split, np_half).transpose(1, 0, 2)
     kernel = functools.partial(_mpw_bits_kernel, n_gb=n_gb,
-                               int8_path=int8_path)
+                               gene_block=gene_block, int8_path=int8_path)
     if not use_mcache:
-        def kernel(wt, P, s, out, acc, _k=None):      # noqa: F811
-            _mpw_bits_kernel(wt, P, s, out, acc, None, n_gb=n_gb,
-                             int8_path=int8_path)
-    scratch = [pltpu.VMEM((np_half, bc),
-                          jnp.int32 if int8_path else jnp.float32)]
+        def kernel(wt, P, s, out, _k=None):           # noqa: F811
+            _mpw_bits_kernel(wt, P, s, out, None, n_gb=n_gb,
+                             gene_block=gene_block, int8_path=int8_path)
+    scratch = []
     if use_mcache:
         scratch.append(pltpu.VMEM(
             (genes_pad, bc), jnp.int8 if int8_path else jnp.bfloat16))
     return pl.pallas_call(
         kernel,
-        grid=(block // bc, np_split, n_gb),
+        grid=(block // bc, np_split),
         in_specs=[
-            pl.BlockSpec((gene_block, bc), lambda i, p, g: (g // 32, i),
+            pl.BlockSpec((n_t * gene_block, bc), lambda i, p: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gene_block, np_half), lambda i, p, g: (g, p),
+            pl.BlockSpec((1, genes_pad, np_half), lambda i, p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_half, 1), lambda i, p, g: (p, 0),
+            pl.BlockSpec((np_half, 1), lambda i, p: (p, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((np_half, bc), lambda i, p, g: (p, i),
+        out_specs=pl.BlockSpec((np_half, bc), lambda i, p: (p, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_pad, block), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem),
         interpret=interpret,
-    )(words_t, P_op, scales2)
+    )(words_t, P3, scales2)
+
+
+def _mpw_m8_kernel(mt_ref, P_ref, s_ref, out_ref, *, n_gb: int,
+                   gene_block: int, int8_path: bool):
+    """:func:`_mpw_bits_kernel` twin reading a PREBUILT int8 mask tile
+    (genes_pad, bc) — no unpack chain in the kernel at all; the engine
+    unpacks once per group (ops/maskbits.py:unpack_mask_bits)."""
+    part = None
+    for g in range(n_gb):
+        m = mt_ref[g * gene_block:(g + 1) * gene_block, :]
+        if not int8_path:
+            m = m.astype(jnp.float32).astype(jnp.bfloat16)
+        Pg = P_ref[0, g * gene_block:(g + 1) * gene_block, :]
+        d = jax.lax.dot_general(
+            Pg, m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8_path else jnp.float32)
+        part = d if part is None else part + d
+    if int8_path:
+        out_ref[:, :] = part.astype(jnp.float32) * s_ref[:, :]
+    else:
+        out_ref[:, :] = part
+
+
+@functools.partial(jax.jit, static_argnames=("gene_block", "interpret"))
+def mask_packed_w_t_m8(P_op, scales, mask8_t, *, gene_block: int,
+                       interpret: bool = False):
+    """packed_t (np_pad, block) f32 = (mask @ P)^T with the mask read as
+    a prebuilt dense int8 0/1 array ``mask8_t`` (genes_pad, block) —
+    round-5 shared-unpack path. P_op: (genes_pad, np_pad) int8 or bf16."""
+    genes_pad, np_pad = P_op.shape
+    block = mask8_t.shape[1]
+    int8_path = P_op.dtype == jnp.int8
+    n_gb = genes_pad // gene_block
+    esz = 1 if int8_path else 2
+    bc = block
+    while bc > 1024 or block % bc:
+        bc //= 2
+    bc = max(bc, 8)
+    np_half, np_split = np_pad, 1
+
+    def _budget(nph, bcc):
+        return (2 * esz * genes_pad * nph              # P chunk dbl
+                + 3 * 4 * nph * bcc                    # out dbl + acc value
+                + 2 * esz * genes_pad * bcc)           # mask tiles dbl
+
+    while (_budget(np_half, bc) > (88 << 20)
+           and np_half % 256 == 0 and np_half > 1024):
+        np_half //= 2
+        np_split *= 2
+    vmem = min(_budget(np_half, bc) + (25 << 20), 127 << 20)
+    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
+    P3 = P_op.reshape(genes_pad, np_split, np_half).transpose(1, 0, 2)
+    return pl.pallas_call(
+        functools.partial(_mpw_m8_kernel, n_gb=n_gb, gene_block=gene_block,
+                          int8_path=int8_path),
+        grid=(block // bc, np_split),
+        in_specs=[
+            pl.BlockSpec((genes_pad, bc), lambda i, p: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, genes_pad, np_half), lambda i, p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_half, 1), lambda i, p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((np_half, bc), lambda i, p: (p, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_pad, block), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(mask8_t, P3, scales2)
+
+
+def _mph_m8_kernel(m_ref, P_ref, s_ref, acc_in_ref, out_ref, *,
+                   int8_path: bool, spb: int, ng: int, gene_block: int):
+    """:func:`_mph_bits_body` twin reading prebuilt int8 mask tiles
+    (bc, ng * gene_block) — no unpack chain."""
+    i = pl.program_id(1)
+    if int8_path:
+        n_scales = s_ref.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_scales), 1)
+        onehot = jnp.where(col == i // spb, jnp.ones((), jnp.float32),
+                           jnp.zeros((), jnp.float32))
+        s = jnp.sum(s_ref[:, :] * onehot, axis=1, keepdims=True)
+    for j in range(ng):
+        m = m_ref[:, j * gene_block:(j + 1) * gene_block]
+        if int8_path:
+            part = jax.lax.dot_general(P_ref[:, :], m,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+            d = part.astype(jnp.float32) * s
+        else:
+            m = m.astype(jnp.float32).astype(jnp.bfloat16)
+            d = jax.lax.dot_general(P_ref[:, :], m,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        sl = slice(j * gene_block, (j + 1) * gene_block)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:, sl] = acc_in_ref[:, sl] + d
+
+        @pl.when(i > 0)
+        def _():
+            out_ref[:, sl] = out_ref[:, sl] + d
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gene_block", "scale_block", "interpret"))
+def mask_packed_h_t_m8(P_op, scales, mask8, acc, *, gene_block: int,
+                       scale_block: int | None = None,
+                       interpret: bool = False):
+    """acc (np_pad, genes_pad) f32 += dequant((mask^T @ P)^T) with the
+    mask read as a prebuilt dense int8 array ``mask8`` (block, genes_pad)
+    — round-5 shared-unpack twin of :func:`mask_packed_h_t_bits` (same
+    scale_block batching contract)."""
+    block, np_pad = P_op.shape
+    genes_pad = acc.shape[1]
+    int8_path = P_op.dtype == jnp.int8
+    if scale_block is None:
+        scale_block = block
+    assert block % scale_block == 0
+    n_scales = block // scale_block
+    bc = min(_sub_block(block), _sub_block(scale_block))
+    spb = scale_block // bc
+    n_gb = genes_pad // gene_block
+    scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, n_scales)
+    esz = 1 if int8_path else 2
+
+    def _budget(ngg, bcc):
+        return (2 * esz * bcc * np_pad                  # P dbl
+                + 4 * np_pad * ngg * gene_block         # out (revisited)
+                + 2 * 4 * np_pad * ngg * gene_block     # acc input dbl
+                + 2 * 4 * np_pad * gene_block           # part/dequant temps
+                + 2 * esz * bcc * ngg * gene_block)     # mask tiles dbl
+
+    ng = 1
+    for cand in (2, 4, 8):
+        if n_gb % cand == 0 and _budget(cand, bc) <= (100 << 20):
+            ng = cand
+    vmem = min(_budget(ng, bc) + (25 << 20), 127 << 20)
+    return pl.pallas_call(
+        functools.partial(_mph_m8_kernel, int8_path=int8_path, spb=spb,
+                          ng=ng, gene_block=gene_block),
+        grid=(n_gb // ng, block // bc),
+        in_specs=[
+            pl.BlockSpec((bc, ng * gene_block), lambda s, i: (i, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, np_pad), lambda s, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, n_scales), lambda s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, ng * gene_block), lambda s, i: (0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((np_pad, ng * gene_block),
+                               lambda s, i: (0, s),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_pad, genes_pad), jnp.float32),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(mask8, P_op, scales2, acc)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -934,46 +934,82 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
 
             F = max(d for d in range(1, min(n_blk, 16) + 1)
                     if n_blk % d == 0)
-
-            def blk_q(carry, bi):
-                Bw, Hsum, Hgram = carry
-                start = bi * mblock
-                ids = jax.lax.dynamic_slice_in_dim(cell_ids_local, start,
-                                                   mblock)
-                li = _slice_planes(b_li, start, mblock)
-                lv = _slice_planes(b_val, start, mblock)
-                wt_blk = _slice2(words, start, mblock).T
-                B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=wt_blk)
-                packed_t = mask_packed_w_t_bits(
-                    Pw_op, Pw_s, wt_blk, gene_block=gene_block)
-                Y0 = _slice2(H_loc, start, mblock)
-                ne = _slice2(ne_loc, start, mblock)
-                Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
-                                         L1=L1_h, L2=L2_h,
-                                         update_mask=ne, n_coord=n_coord,
-                                         sweep_cap=sweep_cap)
-                Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids,
-                                   wt=wt_blk)
-                Ph_b = packed_outer_products(Hb, iu_pad)  # (blk, np_pad)
-                if mode == "int8":
-                    Ph_op, Ph_s = quantize_pairs(Ph_b, axis=0)
-                else:
-                    Ph_op = Ph_b.astype(jnp.bfloat16)
-                    Ph_s = jnp.ones((np_pad,), jnp.float32)
-                Hsum = Hsum + jnp.sum(Hb, axis=0)
-                Hgram = Hgram + jnp.dot(Hb.T, Hb, precision=MM_PRECISION)
-                return (Bw, Hsum, Hgram), (Hb, Ph_op, Ph_s)
+            # Shared once-per-group mask unpack (round-5 experiment,
+            # default OFF): unpacking the group's words once into a
+            # transient int8 buffer (536 MB at F=16/mblock=2048) and
+            # letting the int8 MXU kernels read mask tiles directly
+            # measured 0.586 vs 0.624 iters/s at the 524k config — the
+            # unpack kernel + transpose + strided tile reads cost more
+            # than the saved per-kernel unpack, because a SECOND per-step
+            # operand stream (however cheap to decode) halves kernel
+            # throughput on this platform (probe_grpflush floor5: 0.312
+            # vs 0.157 single-stream). Kept env-gated for topologies with
+            # different DMA concurrency.
+            use_m8 = _os.environ.get("SINGLET_TPU_MASK8", "0") == "1"
 
             def grp(carry, gi):
                 Bw, Pk_t, Hsum, Hgram = carry
-                (Bw, Hsum, Hgram), (Hbs, Ph_ops, Ph_ss) = jax.lax.scan(
-                    blk_q, (Bw, Hsum, Hgram), gi * F + jnp.arange(F))
                 w_grp = _slice2(words, gi * (F * mblock), F * mblock)
+                if use_m8:
+                    from singlet_tpu.ops.maskbits import unpack_mask_bits
+                    from singlet_tpu.ops.pallas_maskgram import (
+                        mask_packed_h_t_m8, mask_packed_w_t_m8)
+
+                    m8 = unpack_mask_bits(w_grp, gene_block=gene_block,
+                                          genes_pad=genes_pad)
+                    m8_t = m8.T
+
+                def blk_q(c2, bj):
+                    Bw, Hsum, Hgram = c2
+                    bi = gi * F + bj
+                    start = bi * mblock
+                    ids = jax.lax.dynamic_slice_in_dim(
+                        cell_ids_local, start, mblock)
+                    li = _slice_planes(b_li, start, mblock)
+                    lv = _slice_planes(b_val, start, mblock)
+                    wt_blk = _slice2(words, start, mblock).T
+                    B = _spmm_b(li, lv, W, seed=seed, ids=ids, wt=wt_blk)
+                    if use_m8:
+                        mt_blk = jax.lax.dynamic_slice_in_dim(
+                            m8_t, bj * mblock, mblock, 1)
+                        packed_t = mask_packed_w_t_m8(
+                            Pw_op, Pw_s, mt_blk, gene_block=gene_block)
+                    else:
+                        packed_t = mask_packed_w_t_bits(
+                            Pw_op, Pw_s, wt_blk, gene_block=gene_block)
+                    Y0 = _slice2(H_loc, start, mblock)
+                    ne = _slice2(ne_loc, start, mblock)
+                    Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
+                                             L1=L1_h, L2=L2_h,
+                                             update_mask=ne,
+                                             n_coord=n_coord,
+                                             sweep_cap=sweep_cap)
+                    Bw = Bw + _spmm_bw(li, lv, Hb, seed=seed, ids=ids,
+                                       wt=wt_blk)
+                    Ph_b = packed_outer_products(Hb, iu_pad)
+                    if mode == "int8":
+                        Ph_op, Ph_s = quantize_pairs(Ph_b, axis=0)
+                    else:
+                        Ph_op = Ph_b.astype(jnp.bfloat16)
+                        Ph_s = jnp.ones((np_pad,), jnp.float32)
+                    Hsum = Hsum + jnp.sum(Hb, axis=0)
+                    Hgram = Hgram + jnp.dot(Hb.T, Hb,
+                                            precision=MM_PRECISION)
+                    return (Bw, Hsum, Hgram), (Hb, Ph_op, Ph_s)
+
+                (Bw, Hsum, Hgram), (Hbs, Ph_ops, Ph_ss) = jax.lax.scan(
+                    blk_q, (Bw, Hsum, Hgram), jnp.arange(F))
                 # in-place accumulation: the kernel adds into the donated
                 # carry — no temp + XLA add
-                Pk_t = mask_packed_h_t_bits(
-                    Ph_ops.reshape(F * mblock, np_pad), Ph_ss.T, w_grp,
-                    Pk_t, gene_block=gene_block, scale_block=mblock)
+                if use_m8:
+                    Pk_t = mask_packed_h_t_m8(
+                        Ph_ops.reshape(F * mblock, np_pad), Ph_ss.T, m8,
+                        Pk_t, gene_block=gene_block, scale_block=mblock)
+                else:
+                    Pk_t = mask_packed_h_t_bits(
+                        Ph_ops.reshape(F * mblock, np_pad), Ph_ss.T,
+                        w_grp, Pk_t, gene_block=gene_block,
+                        scale_block=mblock)
                 return (Bw, Pk_t, Hsum, Hgram), Hbs
 
             (Bw, Pk_t, Hsum, Hgram), Hs = jax.lax.scan(

@@ -331,3 +331,46 @@ def test_quantize_pairs_precision(rng):
     deq = q.astype(jnp.float32) * s[None, :]
     err = np.abs(np.asarray(deq - P))
     assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-12).all()
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bf16"])
+def test_mask_packed_m8_kernels_match_bits(rng, dtype):
+    """The round-5 shared-unpack (prebuilt int8 mask) product kernels
+    reproduce the *_bits kernels bit-for-bit on both paths."""
+    from singlet_tpu.ops.maskbits import unpack_mask_bits
+    from singlet_tpu.ops.pallas_maskgram import (mask_packed_h_t_m8,
+                                                 mask_packed_w_t_m8)
+
+    cells_true, genes_true = CELLS - 10, GENES - 7
+    k = K
+    iu = triu_pairs(k)
+    np_pad = 128
+    iu_pad = pad_pairs(iu, np_pad)
+    W = jnp.asarray(rng.random((GENES, k)).astype(np.float32))
+    H = jnp.asarray(rng.random((CELLS, k)).astype(np.float32))
+    Pw = packed_outer_products(W, iu_pad)
+    Ph = packed_outer_products(H, iu_pad)
+    seed = seed_pair(31)
+    ids = jnp.arange(CELLS, dtype=jnp.int32)
+    words = pack_mask_words(seed, ids, genes_pad=GENES,
+                            gene_block=GENE_BLOCK, inv_density=INV_DENSITY,
+                            cells_true=cells_true, genes_true=genes_true)
+    m8 = unpack_mask_bits(words, gene_block=GENE_BLOCK, genes_pad=GENES,
+                          interpret=True)
+    acc0 = jnp.full((np_pad, GENES), 0.125, jnp.float32)
+    if dtype == "int8":
+        qw, sw = quantize_pairs(Pw, axis=0)
+        qh, sh = quantize_pairs(Ph, axis=0)
+    else:
+        qw, sw = Pw.astype(jnp.bfloat16), jnp.ones((np_pad,), jnp.float32)
+        qh, sh = Ph.astype(jnp.bfloat16), jnp.ones((np_pad,), jnp.float32)
+    want_w = mask_packed_w_t_bits(qw, sw, words.T, gene_block=GENE_BLOCK,
+                                  interpret=True)
+    got_w = mask_packed_w_t_m8(qw, sw, m8.T, gene_block=GENE_BLOCK,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
+    want_h = mask_packed_h_t_bits(qh, sh, words, acc0,
+                                  gene_block=GENE_BLOCK, interpret=True)
+    got_h = mask_packed_h_t_m8(qh, sh, m8, acc0, gene_block=GENE_BLOCK,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))
