@@ -435,50 +435,80 @@ def _mph_bits_body(w_ref, P_ref, s_ref, acc_in_ref, out_ref, *,
             out_ref[:, sl] = out_ref[:, sl] + d
 
 
+def _mpw_geometry(np_pad: int, block: int, esz: int, genes_pad: int,
+                  gene_block: int, n_t: int):
+    """(bc, np_half, np_split) for :func:`mask_packed_w_t_bits` — shared
+    with :func:`prechunk_pairs` so the engine can pre-transpose the P
+    operand into the exact chunk layout the kernel will request."""
+    bc = block
+    while bc > 1024 or block % bc:
+        bc //= 2
+    bc = max(bc, 8)
+    mcache_b = esz * genes_pad * bc
+
+    def _budget(nph, cache):
+        return (2 * esz * genes_pad * nph              # P chunk dbl
+                + 3 * 4 * nph * bc                     # out dbl + acc value
+                + (mcache_b if cache else 0)
+                + 2 * 4 * n_t * gene_block * bc        # word tiles dbl
+                + 12 * gene_block * bc)                # unpack temps
+
+    np_half, np_split = np_pad, 1
+    while (_budget(np_half, np_half < np_pad) > (88 << 20)
+           and np_half % 256 == 0 and np_half > 1024):
+        np_half //= 2
+        np_split *= 2
+    return bc, np_half, np_split, _budget(np_half, np_split > 1), mcache_b
+
+
+def prechunk_pairs(P_op, *, block: int, genes_pad: int, gene_block: int,
+                   n_t: int = 1):
+    """Pre-transpose the (genes_pad, np_pad) packed operand into the
+    (np_split, genes_pad, np_half) CONTIGUOUS chunk layout
+    :func:`mask_packed_w_t_bits` consumes. Do this ONCE PER ITERATION in
+    the engine — P is invariant across cell blocks, and leaving the
+    relayout inside the per-block call measured +0.08 s/pass at the 524k
+    config (the transpose re-ran 256 times)."""
+    np_pad = P_op.shape[1]
+    esz = 1 if P_op.dtype == jnp.int8 else 2
+    _, np_half, np_split, _, _ = _mpw_geometry(
+        np_pad, block, esz, genes_pad, gene_block, n_t)
+    return P_op.reshape(genes_pad, np_split, np_half).transpose(1, 0, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("gene_block", "interpret"))
 def mask_packed_w_t_bits(P_op, scales, words_t, *, gene_block: int,
                          interpret: bool = False):
     """packed_t (np_pad, block) f32 = (mask @ P)^T with the mask read from
     bitplane words. P_op: (genes_pad, np_pad) int8 (with ``scales``
     (np_pad,) f32 from :func:`quantize_pairs`) or bf16 (``scales`` may be
-    a dummy); words_t: (n_t * gene_block, block) u32 — the TRANSPOSED
-    packed layout, sliced to this cell block by the caller."""
-    genes_pad, np_pad = P_op.shape
+    a dummy) — or the 3-D pre-chunked layout from :func:`prechunk_pairs`
+    (preferred in loops); words_t: (n_t * gene_block, block) u32 — the
+    TRANSPOSED packed layout, sliced to this cell block by the caller."""
     block = words_t.shape[1]
     n_t = words_t.shape[0] // gene_block
     int8_path = P_op.dtype == jnp.int8
-    n_gb = genes_pad // gene_block
     esz = 1 if int8_path else 2
-    # Geometry (round 5): cell sub-blocks x pair chunks ONLY — the gene
-    # loop is in-body (see _mpw_bits_kernel). bc caps at 1024 so the
-    # unpacked-mask cache + one P chunk double-buffered fit VMEM; the
-    # pair axis splits until the P chunk does.
-    bc = block
-    while bc > 1024 or block % bc:
-        bc //= 2
-    bc = max(bc, 8)
-    np_half, np_split = np_pad, 1
-    mcache_b = esz * genes_pad * bc                  # unpacked-mask cache
-
-    def _budget(nph, bcc, cache):
-        return (2 * esz * genes_pad * nph              # P chunk dbl
-                + 3 * 4 * nph * bcc                    # out dbl + acc value
-                + (mcache_b if cache else 0)
-                + 2 * 4 * n_t * gene_block * bcc       # word tiles dbl
-                + 12 * gene_block * bcc)               # unpack temps
-
-    while (_budget(np_half, bc, np_half < np_pad) > (88 << 20)
-           and np_half % 256 == 0 and np_half > 1024):
-        np_half //= 2
-        np_split *= 2
+    if P_op.ndim == 3:
+        np_split0, genes_pad, np_half0 = P_op.shape
+        np_pad = np_split0 * np_half0
+    else:
+        genes_pad, np_pad = P_op.shape
+    n_gb = genes_pad // gene_block
+    bc, np_half, np_split, budget, mcache_b = _mpw_geometry(
+        np_pad, block, esz, genes_pad, gene_block, n_t)
+    if P_op.ndim == 3:
+        assert (np_split0, np_half0) == (np_split, np_half), (
+            "prechunk_pairs layout does not match the kernel geometry "
+            f"({np_split0}x{np_half0} vs {np_split}x{np_half}) — was it "
+            "built with a different block size?")
     use_mcache = np_split > 1
-    vmem = min(_budget(np_half, bc, use_mcache) + (25 << 20), 127 << 20)
+    vmem = min(budget + (25 << 20), 127 << 20)
     scales2 = jnp.asarray(scales, jnp.float32).reshape(np_pad, 1)
-    # pair chunks as a CONTIGUOUS leading axis: a (genes_pad, np_half)
-    # column slice of P would DMA 640-byte strided row segments; the
-    # one-time relayout (P is per-iteration-invariant across cell blocks)
-    # makes every chunk fetch a dense burst
-    P3 = P_op.reshape(genes_pad, np_split, np_half).transpose(1, 0, 2)
+    if P_op.ndim == 3:
+        P3 = P_op
+    else:
+        P3 = P_op.reshape(genes_pad, np_split, np_half).transpose(1, 0, 2)
     kernel = functools.partial(_mpw_bits_kernel, n_gb=n_gb,
                                gene_block=gene_block, int8_path=int8_path)
     if not use_mcache:

@@ -930,10 +930,17 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
             # each cell sub-block to its own dequant column — the math is
             # bit-identical to the per-block flush).
             from singlet_tpu.ops.pallas_maskgram import (
-                mask_packed_h_t_bits, mask_packed_w_t_bits, quantize_pairs)
+                mask_packed_h_t_bits, mask_packed_w_t_bits, prechunk_pairs,
+                quantize_pairs)
 
             F = max(d for d in range(1, min(n_blk, 16) + 1)
                     if n_blk % d == 0)
+            # one relayout per ITERATION into the kernel's contiguous
+            # chunk layout (leaving it per-block measured +0.08 s/pass)
+            Pw_chunks = prechunk_pairs(
+                Pw_op, block=mblock, genes_pad=genes_pad,
+                gene_block=gene_block,
+                n_t=words.shape[1] // gene_block)
             # Shared once-per-group mask unpack (round-5 experiment,
             # default OFF): unpacking the group's words once into a
             # transient int8 buffer (536 MB at F=16/mblock=2048) and
@@ -976,7 +983,8 @@ def _build_local_fns(data: ShardedEllData, inv_density: int,
                             Pw_op, Pw_s, mt_blk, gene_block=gene_block)
                     else:
                         packed_t = mask_packed_w_t_bits(
-                            Pw_op, Pw_s, wt_blk, gene_block=gene_block)
+                            Pw_chunks, Pw_s, wt_blk,
+                            gene_block=gene_block)
                     Y0 = _slice2(H_loc, start, mblock)
                     ne = _slice2(ne_loc, start, mblock)
                     Hb = solve_nnls_packed_t(a_full, packed_t, iu, B, Y0,
